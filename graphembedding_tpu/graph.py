@@ -1,0 +1,273 @@
+"""Device-resident graph: padded CSR adjacency + derived sampling structures.
+
+This is the L1 of the framework (reference counterpart: `ge/utils.py`'s
+node<->idx maps plus the implicit networkx adjacency; see SURVEY.md §2). The
+design is TPU-first rather than a translation:
+
+- The canonical graph is a **CSR** (`row_ptr`, `col_idx`, `edge_weight`) in
+  int32/float32 host numpy, built once from an edge list. Columns are sorted
+  within each row so membership tests (needed by the rejection-sampling
+  (p,q) walk) are binary searches.
+- Device views are **padded to lane multiples (128)** and cached: XLA wants
+  static shapes, and all walk kernels gather from these arrays.
+- Derived sampling structures are built lazily and cached:
+    * per-node neighbor **alias tables** aligned to CSR offsets (weighted
+      first-order sampling in O(1));
+    * a **padded neighbor matrix** `[V, max_degree]` for the exact
+      second-order (p,q) walk (dense Gumbel-max categorical per step).
+- Node names never touch the device (`utils.vocab.Vocab`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from graphembedding_tpu.utils.vocab import Vocab
+
+_LANE = 128
+
+
+def _pad_to(x: np.ndarray, multiple: int, fill) -> np.ndarray:
+    n = x.shape[0]
+    target = ((n + multiple - 1) // multiple) * multiple
+    if target == n:
+        return x
+    pad = np.full((target - n,) + x.shape[1:], fill, dtype=x.dtype)
+    return np.concatenate([x, pad], axis=0)
+
+
+@dataclass
+class DeviceGraph:
+    """jnp views of the CSR, padded to lane multiples. All int32/float32."""
+
+    row_ptr: object  # i32 [V+1]
+    col_idx: object  # i32 [E_pad], pad = -1
+    edge_weight: object  # f32 [E_pad], pad = 0
+    degree: object  # i32 [V]
+    num_nodes: int
+    num_edges: int
+    max_degree: int
+
+
+@dataclass
+class NeighborMatrix:
+    """Dense padded neighbor view for the exact (p,q) second-order walk."""
+
+    nbr: object  # i32 [V, Dmax], pad = -1
+    nbr_w: object  # f32 [V, Dmax], pad = 0
+    max_degree: int
+
+
+@dataclass
+class AliasTables:
+    """Per-node neighbor alias tables aligned to CSR offsets.
+
+    `accept[row_ptr[v] + k]` / `alias[row_ptr[v] + k]` describe node v's
+    k-th neighbor slot; `alias` holds *local* neighbor indices so a sample
+    is `col_idx[row_ptr[v] + pick]`.
+    """
+
+    accept: object  # f32 [E_pad]
+    alias: object  # i32 [E_pad]
+
+
+class Graph:
+    """Host-canonical CSR graph with cached device views.
+
+    Parameters
+    ----------
+    src, dst : int arrays of edge endpoints (vocab indices)
+    weight : float array of edge weights
+    num_nodes : total vertex count (isolated vertices allowed)
+    vocab : optional node-name vocabulary
+    directed : whether (src, dst) already lists each direction explicitly.
+        If False, reversed edges are added automatically.
+    """
+
+    def __init__(
+        self,
+        src: np.ndarray,
+        dst: np.ndarray,
+        weight: Optional[np.ndarray] = None,
+        *,
+        num_nodes: Optional[int] = None,
+        vocab: Optional[Vocab] = None,
+        directed: bool = True,
+    ):
+        src = np.asarray(src, dtype=np.int64)
+        dst = np.asarray(dst, dtype=np.int64)
+        if weight is None:
+            weight = np.ones(src.shape[0], dtype=np.float32)
+        weight = np.asarray(weight, dtype=np.float32)
+        if not directed:
+            src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+            weight = np.concatenate([weight, weight])
+
+        if num_nodes is None:
+            num_nodes = int(max(src.max(initial=-1), dst.max(initial=-1)) + 1)
+        self.num_nodes = int(num_nodes)
+        self.directed = directed
+        self.vocab = vocab if vocab is not None else Vocab(range(self.num_nodes))
+
+        # CSR build: stable sort by (src, dst) so columns are sorted in-row.
+        order = np.lexsort((dst, src))
+        src, dst, weight = src[order], dst[order], weight[order]
+        self.num_edges = int(src.shape[0])
+        counts = np.bincount(src, minlength=self.num_nodes)
+        self.row_ptr = np.zeros(self.num_nodes + 1, dtype=np.int32)
+        np.cumsum(counts, out=self.row_ptr[1:])
+        self.col_idx = dst.astype(np.int32)
+        self.edge_weight = weight
+        self.degree = counts.astype(np.int32)
+        self.max_degree = int(counts.max(initial=0))
+
+        self._device: Optional[DeviceGraph] = None
+        self._nbr_matrix: Optional[NeighborMatrix] = None
+        self._alias: Optional[AliasTables] = None
+        self._host_alias = None
+
+    # ------------------------------------------------------------------ #
+    # constructors
+    # ------------------------------------------------------------------ #
+
+    @classmethod
+    def from_nx(cls, graph) -> "Graph":
+        """Build from a networkx (Di)Graph — the reference's input type.
+
+        Reference parity: indices follow `graph.nodes()` order
+        (`ge/utils.py — preprocess_nxgraph [U]`), and an undirected nx.Graph
+        contributes both edge directions.
+        """
+        vocab = Vocab(graph.nodes())
+        n_edges = graph.number_of_edges()
+        src = np.empty(n_edges, dtype=np.int64)
+        dst = np.empty(n_edges, dtype=np.int64)
+        w = np.empty(n_edges, dtype=np.float32)
+        for i, (u, v, data) in enumerate(graph.edges(data=True)):
+            src[i] = vocab[u]
+            dst[i] = vocab[v]
+            w[i] = float(data.get("weight", 1.0))
+        return cls(
+            src,
+            dst,
+            w,
+            num_nodes=len(vocab),
+            vocab=vocab,
+            directed=graph.is_directed(),
+        )
+
+    @classmethod
+    def from_edgelist(
+        cls, path: str, *, directed: bool = True, weighted: bool = False
+    ) -> "Graph":
+        """Load a whitespace edgelist file (`src dst [weight]` per line)."""
+        vocab = Vocab()
+        srcs, dsts, ws = [], [], []
+        with open(path) as f:
+            for line in f:
+                parts = line.split()
+                if not parts or parts[0].startswith("#"):
+                    continue
+                u, v = parts[0], parts[1]
+                w = float(parts[2]) if weighted and len(parts) > 2 else 1.0
+                srcs.append(vocab.add(u))
+                dsts.append(vocab.add(v))
+                ws.append(w)
+        return cls(
+            np.array(srcs),
+            np.array(dsts),
+            np.array(ws, dtype=np.float32),
+            num_nodes=len(vocab),
+            vocab=vocab,
+            directed=directed,
+        )
+
+    # ------------------------------------------------------------------ #
+    # device views (lazy, cached)
+    # ------------------------------------------------------------------ #
+
+    @property
+    def device(self) -> DeviceGraph:
+        if self._device is None:
+            import jax.numpy as jnp
+
+            col = _pad_to(self.col_idx, _LANE, -1)
+            w = _pad_to(self.edge_weight, _LANE, 0.0)
+            self._device = DeviceGraph(
+                row_ptr=jnp.asarray(self.row_ptr),
+                col_idx=jnp.asarray(col),
+                edge_weight=jnp.asarray(w),
+                degree=jnp.asarray(self.degree),
+                num_nodes=self.num_nodes,
+                num_edges=self.num_edges,
+                max_degree=self.max_degree,
+            )
+        return self._device
+
+    @property
+    def neighbor_matrix(self) -> NeighborMatrix:
+        """Dense `[V, max_degree]` padded neighbor ids + weights (lazy)."""
+        if self._nbr_matrix is None:
+            import jax.numpy as jnp
+
+            dmax = max(self.max_degree, 1)
+            # round the neighbor axis up to a lane multiple for clean tiling
+            dpad = ((dmax + _LANE - 1) // _LANE) * _LANE
+            nbr = np.full((self.num_nodes, dpad), -1, dtype=np.int32)
+            nbr_w = np.zeros((self.num_nodes, dpad), dtype=np.float32)
+            for v in range(self.num_nodes):
+                s, e = self.row_ptr[v], self.row_ptr[v + 1]
+                nbr[v, : e - s] = self.col_idx[s:e]
+                nbr_w[v, : e - s] = self.edge_weight[s:e]
+            self._nbr_matrix = NeighborMatrix(
+                nbr=jnp.asarray(nbr), nbr_w=jnp.asarray(nbr_w), max_degree=dpad
+            )
+        return self._nbr_matrix
+
+    def host_alias(self):
+        """(accept f32[E], alias i32[E]) per-node alias tables, host numpy."""
+        if self._host_alias is None:
+            from graphembedding_tpu.ops.alias import build_row_alias
+
+            self._host_alias = build_row_alias(
+                self.row_ptr, self.edge_weight
+            )
+        return self._host_alias
+
+    @property
+    def alias(self) -> AliasTables:
+        """Device per-node alias tables aligned to (padded) CSR offsets."""
+        if self._alias is None:
+            import jax.numpy as jnp
+
+            accept, alias = self.host_alias()
+            self._alias = AliasTables(
+                accept=jnp.asarray(_pad_to(accept, _LANE, 1.0)),
+                alias=jnp.asarray(_pad_to(alias, _LANE, 0)),
+            )
+        return self._alias
+
+    # ------------------------------------------------------------------ #
+    # host-side helpers
+    # ------------------------------------------------------------------ #
+
+    def neighbors(self, v: int) -> np.ndarray:
+        return self.col_idx[self.row_ptr[v] : self.row_ptr[v + 1]]
+
+    def out_weights(self, v: int) -> np.ndarray:
+        return self.edge_weight[self.row_ptr[v] : self.row_ptr[v + 1]]
+
+    def edges(self):
+        """(src, dst, weight) int64/int64/f32 arrays in CSR order."""
+        src = np.repeat(np.arange(self.num_nodes, dtype=np.int64),
+                        np.diff(self.row_ptr))
+        return src, self.col_idx.astype(np.int64), self.edge_weight
+
+    def __repr__(self):
+        return (
+            f"Graph(V={self.num_nodes}, E={self.num_edges}, "
+            f"directed={self.directed}, max_degree={self.max_degree})"
+        )

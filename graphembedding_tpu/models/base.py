@@ -1,0 +1,93 @@
+"""Shared machinery for the walk + skip-gram model family.
+
+Reference counterpart: the `__init__(graph,…)/train(…)/get_embeddings()`
+surface every model class exposes (`ge/models/*.py [U]`). Models accept
+either a networkx graph (reference API) or a `graphembedding_tpu.Graph`.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from graphembedding_tpu.graph import Graph
+from graphembedding_tpu.train.skipgram import SkipGramConfig, SkipGramTrainer
+
+
+def as_graph(graph) -> Graph:
+    if isinstance(graph, Graph):
+        return graph
+    return Graph.from_nx(graph)
+
+
+class WalkEmbeddingModel:
+    """Base for DeepWalk / Node2Vec / Struc2Vec: walks -> SGNS -> table."""
+
+    def __init__(self, graph, walk_length: int, num_walks: int, seed: int = 0):
+        self.graph = as_graph(graph)
+        self.walk_length = walk_length
+        self.num_walks = num_walks
+        self.seed = seed
+        self.walks = None  # device i32 [num_walks * V, walk_length]
+        self.w_in = None
+        self.w_out = None
+        self.losses = None
+        self._embeddings: Optional[Dict] = None
+
+    # subclasses set self.walks in __init__ (mirroring the reference's
+    # eager walk generation) or lazily before train().
+
+    def _fit_skipgram(
+        self,
+        embed_size=128,
+        window_size=5,
+        workers=None,  # accepted for reference API parity; unused on TPU
+        iter=5,
+        negative=5,
+        alpha=0.025,
+        min_alpha=1e-4,
+        block_walks=256,
+        k_shared=64,
+        neg_share_walks=8,
+        **kwargs,
+    ):
+        del workers, kwargs
+        cfg = SkipGramConfig(
+            embed_size=embed_size,
+            window=window_size,
+            negative=negative,
+            epochs=iter,
+            block_walks=block_walks,
+            k_shared=k_shared,
+            neg_share_walks=neg_share_walks,
+            alpha=alpha,
+            min_alpha=min_alpha,
+            seed=self.seed,
+        )
+        trainer = SkipGramTrainer(cfg)
+        key = jax.random.PRNGKey(self.seed + 1)
+        self.w_in, self.w_out, self.losses = trainer.fit(
+            self.walks, self.graph.num_nodes, key
+        )
+        self._embeddings = None
+        return self
+
+    def get_embeddings(self) -> Dict:
+        """{node_name: np.ndarray[embed_size]} — reference return type."""
+        if self._embeddings is None:
+            if self.w_in is None:
+                raise RuntimeError("call train() before get_embeddings()")
+            table = np.asarray(self.w_in)
+            vocab = self.graph.vocab
+            self._embeddings = {
+                vocab.idx2node[i]: table[i]
+                for i in range(self.graph.num_nodes)
+            }
+        return self._embeddings
+
+    @property
+    def embedding_table(self):
+        """Raw device table [V, D] (index order = vocab order)."""
+        return self.w_in

@@ -1,0 +1,284 @@
+"""LINE (Tang et al., WWW'15) — first/second-order proximity embeddings.
+
+Reference counterpart: `ge/models/line.py [U]`: a Keras model fed by a
+Python generator that alias-samples edges (by weight) and negatives (by
+degree^0.75), alternating a positive batch (sign +1) with `negative_ratio`
+negative batches (sign -1), loss `-mean(log sigma(sign * <e_i, e_j>))`.
+
+TPU redesign: sampling moves on device (edge alias table over E + the
+degree^0.75 cumulative table), and each compiled step fuses one positive
+pair AND its K negatives per sampled edge — mathematically the same
+objective as the reference's sign-alternated batches, without the
+per-batch Python/TF boundary (the reference's actual bottleneck,
+SURVEY.md §4.3). The whole epoch loop is one `lax.scan` jit.
+
+Orders: 'first' trains first_emb with symmetric dots; 'second' trains
+second_emb against context_emb; 'all' trains both and concatenates.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graphembedding_tpu.models.base import as_graph
+from graphembedding_tpu.ops.alias import build_alias_table
+
+
+@partial(
+    jax.jit,
+    static_argnames=("chunk_steps", "batch_size", "negative", "order_first"),
+    donate_argnums=(0, 1),
+)
+def line_train_chunk(
+    emb,
+    ctx,
+    edge_src,
+    edge_dst,
+    edge_accept,
+    edge_alias,
+    neg_cum,
+    key,
+    lr0,
+    t0,
+    total_steps,
+    *,
+    chunk_steps,
+    batch_size,
+    negative,
+    order_first,
+):
+    """One fixed-size compiled chunk of LINE SGD over sampled edges.
+
+    For order='first' the ctx table is unused (symmetric dot on emb).
+    All sampling (edge alias draws, negative searchsorted) is hoisted out
+    of the scan in bulk — see the TPU performance note in
+    `train.skipgram.sgns_train_chunk`."""
+    n_edges = edge_src.shape[0]
+    total = neg_cum[-1]
+    S, B, K = chunk_steps, batch_size, negative
+
+    k1, k2, k3 = jax.random.split(jax.random.fold_in(key, t0), 3)
+    u1 = jax.random.uniform(k1, (S, B))
+    u2 = jax.random.uniform(k2, (S, B))
+    pick = jnp.minimum((u1 * n_edges).astype(jnp.int32), n_edges - 1)
+    take = u2 < edge_accept[pick]
+    eidx = jnp.where(take, pick, edge_alias[pick])
+    hs = edge_src[eidx]
+    tposs = edge_dst[eidx]
+    un = jax.random.uniform(k3, (S, B, K))
+    tnegs = jnp.searchsorted(
+        neg_cum, (un * total).reshape(-1)
+    ).astype(jnp.int32).reshape(S, B, K)
+    tnegs = jnp.clip(tnegs, 0, emb.shape[0] - 1)
+    lrs = lr0 * jnp.maximum(
+        1.0
+        - (t0 + jnp.arange(S, dtype=jnp.int32)).astype(jnp.float32)
+        / total_steps,
+        1e-4,
+    )
+
+    def step(carry, xs):
+        emb, ctx = carry
+        h, tpos, tneg, lr = xs
+
+        u = emb[h]  # [B, D]
+        if order_first:
+            v = emb[tpos]
+            vn = emb[tneg]
+        else:
+            v = ctx[tpos]
+            vn = ctx[tneg]
+
+        pos_logit = jnp.sum(u * v, axis=-1)
+        neg_logit = jnp.einsum("bd,bkd->bk", u, vn)
+        g_pos = jax.nn.sigmoid(pos_logit) - 1.0
+        g_neg = jax.nn.sigmoid(neg_logit)
+
+        d_u = g_pos[:, None] * v + jnp.einsum("bk,bkd->bd", g_neg, vn)
+        d_v = g_pos[:, None] * u
+        d_vn = g_neg[:, :, None] * u[:, None, :]
+
+        emb = emb.at[h].add(-lr * d_u)
+        if order_first:
+            emb = emb.at[tpos].add(-lr * d_v)
+            emb = emb.at[tneg.reshape(-1)].add(
+                -lr * d_vn.reshape(-1, emb.shape[1])
+            )
+        else:
+            ctx = ctx.at[tpos].add(-lr * d_v)
+            ctx = ctx.at[tneg.reshape(-1)].add(
+                -lr * d_vn.reshape(-1, ctx.shape[1])
+            )
+
+        loss = -(
+            jnp.mean(jax.nn.log_sigmoid(pos_logit))
+            + jnp.mean(jnp.sum(jax.nn.log_sigmoid(-neg_logit), axis=-1))
+        )
+        return (emb, ctx), loss
+
+    (emb, ctx), losses = jax.lax.scan(
+        step, (emb, ctx), (hs, tposs, tnegs, lrs)
+    )
+    return emb, ctx, losses
+
+
+def line_train(
+    emb,
+    ctx,
+    edge_src,
+    edge_dst,
+    edge_accept,
+    edge_alias,
+    neg_cum,
+    key,
+    lr0,
+    *,
+    n_steps,
+    batch_size,
+    negative,
+    order_first,
+    chunk_steps=512,
+):
+    """Full LINE run as a Python loop of fixed-size compiled chunks."""
+    n_chunks = max((n_steps + chunk_steps - 1) // chunk_steps, 1)
+    losses = []
+    total_steps = jnp.float32(n_steps)
+    for c in range(n_chunks):
+        emb, ctx, l = line_train_chunk(
+            emb,
+            ctx,
+            edge_src,
+            edge_dst,
+            edge_accept,
+            edge_alias,
+            neg_cum,
+            key,
+            lr0,
+            jnp.int32(c * chunk_steps),
+            total_steps,
+            chunk_steps=chunk_steps,
+            batch_size=batch_size,
+            negative=negative,
+            order_first=order_first,
+        )
+        losses.append(l)
+    return emb, ctx, jnp.concatenate(losses)
+
+
+class LINE:
+    def __init__(
+        self,
+        graph,
+        embedding_size=8,
+        negative_ratio=5,
+        order="second",
+        seed=0,
+    ):
+        if order not in ("first", "second", "all"):
+            raise ValueError("order must be first / second / all")
+        self.graph = as_graph(graph)
+        self.embedding_size = embedding_size
+        self.negative_ratio = negative_ratio
+        self.order = order
+        self.seed = seed
+        self._embeddings: Dict | None = None
+
+        g = self.graph
+        src, dst, w = g.edges()
+        self._edge_src = jnp.asarray(src.astype(np.int32))
+        self._edge_dst = jnp.asarray(dst.astype(np.int32))
+        # edge alias table by weight (reference `_gen_sampling_table [U]`)
+        acc, alias = build_alias_table(w.astype(np.float64))
+        self._edge_accept = jnp.asarray(acc)
+        self._edge_alias = jnp.asarray(alias)
+        # negative table: degree^0.75 over *weighted out-degree* (the
+        # reference uses sum of outgoing weights per node)
+        wdeg = np.zeros(g.num_nodes, dtype=np.float64)
+        np.add.at(wdeg, src, w.astype(np.float64))
+        self._neg_cum = jnp.asarray(
+            np.cumsum(np.power(wdeg, 0.75)).astype(np.float32)
+        )
+
+        key = jax.random.PRNGKey(seed)
+        k1, k2, k3 = jax.random.split(key, 3)
+        V, D = g.num_nodes, embedding_size
+        scale = 1.0 / D
+        self.first_emb = jax.random.uniform(k1, (V, D), minval=-scale,
+                                            maxval=scale)
+        self.second_emb = jax.random.uniform(k2, (V, D), minval=-scale,
+                                             maxval=scale)
+        self.context_emb = jax.random.uniform(k3, (V, D), minval=-scale,
+                                              maxval=scale)
+        self.losses = None
+
+    def train(self, batch_size=1024, epochs=1, initial_lr=0.025,
+              verbose=0, times=1):
+        del verbose, times
+        g = self.graph
+        # reference steps/epoch: ceil(E*(1+neg_ratio)/batch); our fused
+        # step covers 1 positive + K negatives at once, so E/batch steps
+        # per epoch visits the same number of samples.
+        n_steps = max(
+            int(round(epochs * g.num_edges / batch_size)), 1
+        )
+        key = jax.random.PRNGKey(self.seed + 1)
+        if self.order in ("first", "all"):
+            # ctx table is unused for first-order (symmetric dot); pass a
+            # dummy so the donated buffers stay distinct
+            self.first_emb, _, l1 = line_train(
+                self.first_emb,
+                jnp.zeros((1, self.embedding_size), jnp.float32),
+                self._edge_src,
+                self._edge_dst,
+                self._edge_accept,
+                self._edge_alias,
+                self._neg_cum,
+                key,
+                jnp.float32(initial_lr),
+                n_steps=n_steps,
+                batch_size=batch_size,
+                negative=self.negative_ratio,
+                order_first=True,
+            )
+            self.losses = l1
+        if self.order in ("second", "all"):
+            self.second_emb, self.context_emb, l2 = line_train(
+                self.second_emb,
+                self.context_emb,
+                self._edge_src,
+                self._edge_dst,
+                self._edge_accept,
+                self._edge_alias,
+                self._neg_cum,
+                jax.random.fold_in(key, 1),
+                jnp.float32(initial_lr),
+                n_steps=n_steps,
+                batch_size=batch_size,
+                negative=self.negative_ratio,
+                order_first=False,
+            )
+            self.losses = l2
+        self._embeddings = None
+        return self
+
+    def get_embeddings(self) -> Dict:
+        if self._embeddings is None:
+            if self.order == "first":
+                table = np.asarray(self.first_emb)
+            elif self.order == "second":
+                table = np.asarray(self.second_emb)
+            else:
+                table = np.hstack(
+                    [np.asarray(self.first_emb), np.asarray(self.second_emb)]
+                )
+            vocab = self.graph.vocab
+            self._embeddings = {
+                vocab.idx2node[i]: table[i]
+                for i in range(self.graph.num_nodes)
+            }
+        return self._embeddings

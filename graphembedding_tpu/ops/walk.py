@@ -1,0 +1,338 @@
+"""Batched device random-walk kernels.
+
+Reference counterpart: `ge/walker.py — RandomWalker.deepwalk_walk /
+node2vec_walk / node2vec_walk2 [U]`, which advance ONE walker at a time in
+pure Python (joblib processes for parallelism). Here every walker in a batch
+advances in lockstep on device under `lax.scan`; a walk step is a handful of
+gathers + a sample, all static-shaped so XLA fuses the whole walk into one
+program.
+
+Three samplers:
+  * `uniform_walks`     — DeepWalk: uniform over out-neighbors.
+  * `weighted_walks`    — first-order weighted via per-node alias tables
+                          (two uniforms + two gathers, O(1) per step).
+  * `node2vec_walks`    — exact second-order (p,q) walk: per step, score all
+                          of cur's (padded) neighbors with {w/p, w, w/q} by
+                          membership test against prev's sorted neighbor row
+                          and draw via Gumbel-max. No O(E·d) alias_edges
+                          table (the reference's memory cliff) and no
+                          rejection-failure bias.
+  * `node2vec_walks_rejection` — KnightKing-style rejection sampler
+                          (reference `node2vec_walk2`): O(1) proposals with
+                          a bounded retry loop; cheaper per step for small
+                          max-degree graphs, biased only on retry overflow.
+
+Dead ends (out-degree 0) terminate a walk; remaining positions are -1
+(consumers mask them). Walk buffers are int32 `[B, L]`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from graphembedding_tpu.ops.alias import alias_draw
+
+_INT32_MAX = jnp.iinfo(jnp.int32).max
+
+
+def _safe(cur):
+    """Clamp dead (-1) walker ids to 0 for gathers; callers mask."""
+    return jnp.maximum(cur, 0)
+
+
+def csr_contains(row_ptr, col_idx, degree, rows, values, *, max_degree):
+    """Vectorized membership test: is `values[b]` in row `rows[b]`?
+
+    Binary search over the sorted columns of each CSR row, fixed
+    `ceil(log2(max_degree)) + 1` iterations. rows must be valid (>= 0).
+    """
+    lo = row_ptr[rows]
+    hi = lo + degree[rows]
+    steps = max(int(max_degree).bit_length(), 1)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        active = lo < hi
+        mid = (lo + hi) // 2
+        mid_val = col_idx[jnp.minimum(mid, col_idx.shape[0] - 1)]
+        go_right = mid_val < values
+        lo = jnp.where(active & go_right, mid + 1, lo)
+        hi = jnp.where(active & ~go_right, mid, hi)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
+    found = (lo < row_ptr[rows] + degree[rows]) & (
+        col_idx[jnp.minimum(lo, col_idx.shape[0] - 1)] == values
+    )
+    return found
+
+
+@partial(jax.jit, static_argnames=("length",))
+def uniform_walks(row_ptr, col_idx, degree, starts, key, *, length):
+    """DeepWalk walks: uniform next-hop. Returns i32 [B, length]."""
+
+    def step(carry, k):
+        cur = carry
+        deg = jnp.where(cur >= 0, degree[_safe(cur)], 0)
+        u = jax.random.uniform(k, cur.shape)
+        pick = jnp.minimum((u * deg.astype(jnp.float32)).astype(jnp.int32),
+                           jnp.maximum(deg - 1, 0))
+        nxt = col_idx[row_ptr[_safe(cur)] + pick]
+        nxt = jnp.where(deg > 0, nxt, -1)
+        return nxt, cur
+
+    keys = jax.random.split(key, length - 1)
+    last, trail = jax.lax.scan(step, starts, keys)
+    return jnp.concatenate(
+        [jnp.moveaxis(trail, 0, 1), last[:, None]], axis=1
+    )
+
+
+@partial(jax.jit, static_argnames=("length",))
+def weighted_walks(
+    row_ptr, col_idx, degree, accept, alias, starts, key, *, length
+):
+    """First-order weighted walks via per-node alias tables."""
+
+    def step(carry, k):
+        cur = carry
+        safe = _safe(cur)
+        deg = jnp.where(cur >= 0, degree[safe], 0)
+        k1, k2 = jax.random.split(k)
+        u1 = jax.random.uniform(k1, cur.shape)
+        u2 = jax.random.uniform(k2, cur.shape)
+        slot = alias_draw(
+            accept, alias, row_ptr[safe], jnp.maximum(deg, 1), u1, u2
+        )
+        nxt = col_idx[row_ptr[safe] + slot]
+        nxt = jnp.where(deg > 0, nxt, -1)
+        return nxt, cur
+
+    keys = jax.random.split(key, length - 1)
+    last, trail = jax.lax.scan(step, starts, keys)
+    return jnp.concatenate(
+        [jnp.moveaxis(trail, 0, 1), last[:, None]], axis=1
+    )
+
+
+@partial(jax.jit, static_argnames=("length", "max_degree"))
+def node2vec_walks(
+    row_ptr,
+    col_idx,
+    degree,
+    nbr,
+    nbr_w,
+    starts,
+    key,
+    p,
+    q,
+    *,
+    length,
+    max_degree,
+):
+    """Exact (p,q)-biased second-order walks (Grover & Leskovec 2016).
+
+    Per step, for walker at `cur` having arrived from `prev`:
+      weight(x) = w(cur,x) * { 1/p  if x == prev
+                               1    if x in N(prev)   (distance 1)
+                               1/q  otherwise }       (distance 2)
+    sampled exactly via Gumbel-max over the padded neighbor row of `cur`.
+    Membership is a binary search against prev's sorted CSR row.
+    """
+    inv_p = jnp.float32(1.0 / p)
+    inv_q = jnp.float32(1.0 / q)
+    B = starts.shape[0]
+    D = nbr.shape[1]
+
+    def first_step(cur, k):
+        # first hop: plain weighted first-order sample over nbr_w
+        w = nbr_w[_safe(cur)]
+        valid = w > 0
+        g = -jnp.log(-jnp.log(jax.random.uniform(
+            k, (B, D), minval=1e-20, maxval=1.0) + 1e-20))
+        score = jnp.where(valid, jnp.log(jnp.maximum(w, 1e-30)) + g, -jnp.inf)
+        pick = jnp.argmax(score, axis=1)
+        nxt = nbr[_safe(cur), pick]
+        deg = jnp.where(cur >= 0, degree[_safe(cur)], 0)
+        return jnp.where(deg > 0, nxt, -1)
+
+    def step(carry, k):
+        prev, cur = carry
+        safe = _safe(cur)
+        cand = nbr[safe]  # [B, D]
+        w = nbr_w[safe]
+        valid = w > 0
+        safe_cand = jnp.where(valid, cand, 0)
+
+        is_prev = cand == prev[:, None]
+        # membership of each candidate in N(prev)
+        flat_rows = jnp.repeat(_safe(prev), D)
+        flat_vals = safe_cand.reshape(-1)
+        in_prev_nbrs = csr_contains(
+            row_ptr, col_idx, degree, flat_rows, flat_vals,
+            max_degree=max_degree,
+        ).reshape(B, D)
+
+        bias = jnp.where(
+            is_prev, inv_p, jnp.where(in_prev_nbrs, 1.0, inv_q)
+        )
+        w2 = w * bias
+        g = -jnp.log(-jnp.log(jax.random.uniform(
+            k, (B, D), minval=1e-20, maxval=1.0) + 1e-20))
+        score = jnp.where(
+            valid, jnp.log(jnp.maximum(w2, 1e-30)) + g, -jnp.inf
+        )
+        pick = jnp.argmax(score, axis=1)
+        nxt = cand[jnp.arange(B), pick]
+        deg = jnp.where(cur >= 0, degree[safe], 0)
+        nxt = jnp.where(deg > 0, nxt, -1)
+        return (cur, nxt), cur
+
+    k0, krest = jax.random.split(key)
+    second = first_step(starts, k0)
+    if length == 1:
+        return starts[:, None]
+    keys = jax.random.split(krest, max(length - 2, 1))[: length - 2]
+    (prev, last), trail = jax.lax.scan(step, (starts, second), keys)
+    cols = [starts[:, None]]
+    if length > 2:
+        cols.append(jnp.moveaxis(trail, 0, 1))
+    cols.append(last[:, None])
+    return jnp.concatenate(cols, axis=1)
+
+
+@partial(jax.jit, static_argnames=("length", "max_degree", "max_tries"))
+def node2vec_walks_rejection(
+    row_ptr,
+    col_idx,
+    degree,
+    accept,
+    alias,
+    starts,
+    key,
+    p,
+    q,
+    *,
+    length,
+    max_degree,
+    max_tries=32,
+):
+    """Rejection-sampling (p,q) walks (reference `node2vec_walk2 [U]`).
+
+    Proposal: weighted first-order draw from N(cur) via alias tables.
+    Accept with prob factor(y)/ub, factor in {1/p, 1, 1/q} by the class of
+    y w.r.t. prev, ub = max of the three. Bounded retries; on overflow the
+    last proposal is accepted (bias ~ (1 - 1/ub·min_accept)^max_tries).
+    """
+    inv_p = jnp.float32(1.0 / p)
+    inv_q = jnp.float32(1.0 / q)
+    ub = jnp.maximum(jnp.maximum(inv_p, 1.0), inv_q)
+
+    def propose(cur, deg, k):
+        k1, k2 = jax.random.split(k)
+        u1 = jax.random.uniform(k1, cur.shape)
+        u2 = jax.random.uniform(k2, cur.shape)
+        slot = alias_draw(
+            accept, alias, row_ptr[_safe(cur)], jnp.maximum(deg, 1), u1, u2
+        )
+        return col_idx[row_ptr[_safe(cur)] + slot]
+
+    def step(carry, k):
+        prev, cur = carry
+        safe = _safe(cur)
+        deg = jnp.where(cur >= 0, degree[safe], 0)
+
+        def try_body(i, state):
+            done, y, kk = state
+            kk, kp, ka = jax.random.split(kk, 3)
+            cand = propose(cur, deg, kp)
+            is_prev = cand == prev
+            in_prev = csr_contains(
+                row_ptr, col_idx, degree, _safe(prev), cand,
+                max_degree=max_degree,
+            )
+            factor = jnp.where(is_prev, inv_p,
+                               jnp.where(in_prev, 1.0, inv_q))
+            acc = jax.random.uniform(ka, cur.shape) < factor / ub
+            y = jnp.where(done, y, cand)
+            done = done | acc
+            return done, y, kk
+
+        done0 = jnp.zeros_like(cur, dtype=bool)
+        _, y, _ = jax.lax.fori_loop(
+            0, max_tries, try_body, (done0, jnp.zeros_like(cur), k)
+        )
+        nxt = jnp.where(deg > 0, y, -1)
+        return (cur, nxt), cur
+
+    # first hop: plain weighted draw
+    k0, krest = jax.random.split(key)
+    deg0 = degree[_safe(starts)]
+    second = propose(starts, deg0, k0)
+    second = jnp.where(deg0 > 0, second, -1)
+    if length == 1:
+        return starts[:, None]
+    keys = jax.random.split(krest, max(length - 2, 1))[: length - 2]
+    (prev, last), trail = jax.lax.scan(step, (starts, second), keys)
+    cols = [starts[:, None]]
+    if length > 2:
+        cols.append(jnp.moveaxis(trail, 0, 1))
+    cols.append(last[:, None])
+    return jnp.concatenate(cols, axis=1)
+
+
+# --------------------------------------------------------------------------- #
+# high-level corpus generation
+# --------------------------------------------------------------------------- #
+
+
+def simulate_walks(
+    graph,
+    num_walks: int,
+    walk_length: int,
+    key,
+    *,
+    kind: str = "uniform",
+    p: float = 1.0,
+    q: float = 1.0,
+    use_rejection_sampling: bool = False,
+):
+    """Generate the full walk corpus `[num_walks * V, walk_length]` (i32).
+
+    Reference counterpart: `RandomWalker.simulate_walks [U]` (joblib over
+    nodes). Here all `num_walks × V` walkers run as one batched device
+    program; start nodes are every vertex repeated `num_walks` times
+    (ordering is irrelevant — the trainer shuffles pairs).
+    """
+    dg = graph.device
+    starts = jnp.tile(jnp.arange(dg.num_nodes, dtype=jnp.int32), num_walks)
+
+    if kind == "uniform":
+        return uniform_walks(
+            dg.row_ptr, dg.col_idx, dg.degree, starts, key,
+            length=walk_length,
+        )
+    if kind == "weighted":
+        at = graph.alias
+        return weighted_walks(
+            dg.row_ptr, dg.col_idx, dg.degree, at.accept, at.alias,
+            starts, key, length=walk_length,
+        )
+    if kind == "node2vec":
+        if use_rejection_sampling:
+            at = graph.alias
+            return node2vec_walks_rejection(
+                dg.row_ptr, dg.col_idx, dg.degree, at.accept, at.alias,
+                starts, key, jnp.float32(p), jnp.float32(q),
+                length=walk_length, max_degree=max(dg.max_degree, 1),
+            )
+        nm = graph.neighbor_matrix
+        return node2vec_walks(
+            dg.row_ptr, dg.col_idx, dg.degree, nm.nbr, nm.nbr_w,
+            starts, key, jnp.float32(p), jnp.float32(q),
+            length=walk_length, max_degree=max(dg.max_degree, 1),
+        )
+    raise ValueError(f"unknown walk kind: {kind!r}")

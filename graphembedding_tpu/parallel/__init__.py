@@ -1,0 +1,3 @@
+from graphembedding_tpu.parallel.mesh import make_mesh
+
+__all__ = ["make_mesh"]

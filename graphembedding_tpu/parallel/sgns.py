@@ -1,0 +1,210 @@
+"""Sharded SGNS training step: DP over walk blocks × TP over embed dim.
+
+New surface area vs the reference (its only parallelism was hogwild
+threads inside gensim, SURVEY.md §3.3). Mapping to the mesh:
+
+- **model axis (TP, exact):** tables are column-sharded `[V, D/tp]`.
+  Pair/negative logits need the full-D dot product, so each device
+  computes its partial `[Bw, L, L]` / `[Bw, L, K]` logits and a
+  `psum` over `model` completes them — the only TP communication,
+  O(Bw·L·(L+K)) floats per step, riding ICI. All gradient outer
+  products then use the *full* logits with *local* columns, so table
+  updates are exact and local.
+
+- **data axis (DP, hogwild-style):** each data group consumes a
+  different walk block and scatter-updates its own table replica;
+  replicas are averaged with `pmean` every `sync_every` steps. This is
+  the cross-device analogue of the reference's lock-free hogwild
+  (gensim threads race on one table; we batch and average). Exactness
+  is deliberately traded the same way hogwild trades it; micro-F1
+  parity is validated in tests (`tests/test_parallel.py`).
+
+The per-device compute body is shared with the single-chip path
+(`train.skipgram.sgns_block_chunk` uses the same formulation).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+
+def sharded_sgns_chunk(
+    mesh,
+    *,
+    chunk_steps,
+    block_walks,
+    window,
+    negative,
+    k_shared,
+    neg_share_walks=8,
+    sync_every=None,
+):
+    """Build the jitted sharded chunk fn for a given mesh.
+
+    Returns fn(w_in, w_out, walks, neg_table, key, alpha, min_alpha, t0,
+    total_steps) -> (w_in, w_out, losses). Table specs: P(None, 'model')
+    (replicated over data, column-sharded over model). Walks/neg_table
+    replicated (wiki-scale corpora are MBs; the edge-partitioned walk
+    path in parallel/walks.py covers graphs that don't fit).
+    """
+    S, W, K = chunk_steps, window, k_shared
+    n_data = mesh.shape["data"]
+    bw_local = block_walks // n_data
+    if bw_local == 0:
+        raise ValueError("block_walks must be >= data-axis size")
+    g = max(min(neg_share_walks, bw_local), 1)
+    G = bw_local // g  # negative-sharing groups per local block
+    sync_every = sync_every or S
+
+    def body(w_in, w_out, walks, neg_table, key, alpha, min_alpha, t0,
+             total_steps):
+        # per-device shard ids
+        di = jax.lax.axis_index("data")
+        NW, L = walks.shape
+        V, Dl = w_in.shape
+        n_blocks = NW // block_walks
+
+        k1, k2 = jax.random.split(jax.random.fold_in(key, t0))
+        eff = W - (
+            jax.random.uniform(k1, (S, bw_local, L)) * W
+        ).astype(jnp.int32).clip(0, W - 1)
+        # independent negatives per data shard
+        k2 = jax.random.fold_in(k2, di)
+        neg_idx = jax.random.randint(
+            k2, (S, G, K), 0, neg_table.shape[0], dtype=jnp.int32
+        )
+        negs = neg_table[neg_idx]
+        steps = t0 + jnp.arange(S, dtype=jnp.int32)
+        lrs = jnp.maximum(
+            min_alpha, alpha * (1.0 - steps.astype(jnp.float32) / total_steps)
+        )
+        # each data shard takes its slice of the global block
+        offs = (steps % n_blocks) * block_walks + di * bw_local
+
+        lgrid = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+        mgrid = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+        dm = jnp.abs(mgrid - lgrid)
+        window_ok = (dm >= 1) & (dm <= W)
+        neg_w = jnp.float32(negative) / K
+
+        def one_step(carry, xs):
+            w_in, w_out = carry
+            off, eff_b, neg, lr, i = xs  # neg: [G, K]
+
+            tok = jax.lax.dynamic_slice(walks, (off, 0), (bw_local, L))
+            tok_ok = tok >= 0
+            tok_safe = jnp.where(tok_ok, tok, 0)
+
+            yin = w_in[tok_safe]
+            yout = w_out[tok_safe]
+            vn = w_out[neg]  # [G, K, Dl]
+            yin_g = yin.reshape(G, g * L, Dl)
+
+            # partial logits over local columns; psum over model completes
+            logits = jax.lax.psum(
+                jnp.einsum("bld,bmd->blm", yin, yout,
+                           preferred_element_type=jnp.float32),
+                "model",
+            )
+            nlog = jax.lax.psum(
+                jnp.einsum("gwd,gkd->gwk", yin_g, vn,
+                           preferred_element_type=jnp.float32),
+                "model",
+            )
+            mask = (
+                window_ok[None]
+                & (dm[None] <= eff_b[:, :, None])
+                & tok_ok[:, :, None]
+                & tok_ok[:, None, :]
+            ).astype(jnp.float32)
+            g_pos = (jax.nn.sigmoid(logits) - 1.0) * mask
+            n_pairs = jnp.sum(mask, axis=2).reshape(G, g * L)
+            neg_ok = (
+                neg[:, None, :] != tok_safe.reshape(G, g * L)[:, :, None]
+            ).astype(jnp.float32)
+            g_neg = (
+                jax.nn.sigmoid(nlog) * (n_pairs * neg_w)[:, :, None] * neg_ok
+            )
+
+            d_yin = jnp.einsum("blm,bmd->bld", g_pos, yout,
+                               preferred_element_type=jnp.float32)
+            d_yin = d_yin + jnp.einsum(
+                "gwk,gkd->gwd", g_neg, vn,
+                preferred_element_type=jnp.float32,
+            ).reshape(bw_local, L, Dl)
+            d_yout = jnp.einsum("blm,bld->bmd", g_pos, yin,
+                                preferred_element_type=jnp.float32)
+            d_vn = jnp.einsum("gwk,gwd->gkd", g_neg, yin_g,
+                              preferred_element_type=jnp.float32)
+
+            # per-row accumulation cap — see train.skipgram for rationale
+            cap = jnp.float32(8.0)
+            flat = tok_safe.reshape(-1)
+            occ = jnp.zeros((V,), jnp.float32).at[flat].add(1.0)
+            tok_scale = jnp.minimum(
+                1.0, cap / jnp.maximum(occ[flat], 1.0)
+            )[:, None]
+            nflat = neg.reshape(-1)
+            neg_weight = jnp.broadcast_to(
+                jnp.sum(n_pairs * neg_w, axis=1)[:, None], (G, K)
+            ).reshape(-1)
+            nocc = jnp.zeros((V,), jnp.float32).at[nflat].add(neg_weight)
+            neg_scale = jnp.minimum(
+                1.0, cap / jnp.maximum(nocc[nflat], 1.0)
+            )[:, None]
+
+            w_in = w_in.at[flat].add(
+                (-lr) * d_yin.reshape(-1, Dl) * tok_scale
+            )
+            w_out = w_out.at[flat].add(
+                (-lr) * d_yout.reshape(-1, Dl) * tok_scale
+            )
+            w_out = w_out.at[nflat].add(
+                (-lr) * d_vn.reshape(-1, Dl) * neg_scale
+            )
+
+            # periodic DP sync: average replicas over the data axis
+            do_sync = (i + 1) % sync_every == 0
+            w_in = jax.lax.cond(
+                do_sync, lambda t: jax.lax.pmean(t, "data"), lambda t: t,
+                w_in,
+            )
+            w_out = jax.lax.cond(
+                do_sync, lambda t: jax.lax.pmean(t, "data"), lambda t: t,
+                w_out,
+            )
+
+            n_tot = jnp.maximum(jnp.sum(mask), 1.0)
+            loss = -(
+                jnp.sum(jax.nn.log_sigmoid(logits) * mask)
+                + jnp.sum(jax.nn.log_sigmoid(-nlog)
+                          * (n_pairs * neg_w)[:, :, None] * neg_ok)
+            ) / n_tot
+            return (w_in, w_out), loss
+
+        (w_in, w_out), losses = jax.lax.scan(
+            one_step,
+            (w_in, w_out),
+            (offs, eff, negs, lrs, jnp.arange(S, dtype=jnp.int32)),
+        )
+        # final sync so returned replicas agree
+        w_in = jax.lax.pmean(w_in, "data")
+        w_out = jax.lax.pmean(w_out, "data")
+        losses = jax.lax.pmean(losses, "data")
+        return w_in, w_out, losses
+
+    table_spec = P(None, "model")
+    rep = P()
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(table_spec, table_spec, rep, rep, rep, rep, rep, rep, rep),
+        out_specs=(table_spec, table_spec, rep),
+        check_vma=False,
+    )
+    return jax.jit(fn, donate_argnums=(0, 1))

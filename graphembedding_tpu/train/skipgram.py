@@ -1,0 +1,342 @@
+"""Skip-gram with negative sampling (SGNS) over walk corpora.
+
+Reference counterpart: gensim `Word2Vec` (`word2vec_inner.pyx`), the Cython
+hogwild hot loop that `DeepWalk.train` / `Node2Vec.train` / `Struc2Vec.train`
+delegate to (SURVEY.md §3.2). This is a TPU redesign, not a translation —
+the trainer is built around what the hardware is good at (MXU batched
+matmuls, contiguous slices) and away from what it is bad at (per-element
+random gathers, small per-step RNG kernels):
+
+**Walk-block formulation.** Each step consumes a contiguous block of `Bw`
+walks from the (per-epoch shuffled) corpus buffer. The block's token
+embeddings are gathered ONCE (`[Bw, L, D]`), and *all* intra-walk
+(center, context) window pairs are scored in one batched matmul
+`[Bw, L, D] x [Bw, D, L] -> [Bw, L, L]` on the MXU, masked to the window.
+Per trained pair this costs ~0.3 embedding-row touches vs ~14 for a
+pair-at-a-time layout — measured 50-100x faster on TPU, where row
+gather/scatter (~10 ns/row) is the true unit of cost.
+
+**Group-shared negatives.** Negatives are drawn from a pre-sampled
+unigram^0.75 table (the original word2vec C trick — one int32 table, no
+per-sample binary search; `jnp.searchsorted` alone cost ~500 µs/step) and
+are shared by *groups of `neg_share_walks` walks*: each group gathers
+`k_shared` negative rows once and scores them against all its centers via
+a dense batched matmul. Each center's negative gradient is weighted
+`n_pairs * negative / k_shared`, so the expected gradient equals gensim's
+`negative` i.i.d. draws per pair with lower variance. Sharing is
+per-group rather than per-step deliberately: with step-wide sharing a
+single negative row accumulates the whole block's negative gradient at
+stale logits (thousands of gradient units on one row) and SGD diverges;
+group sharing bounds per-row accumulation at `neg_share_walks * L *
+negative / k_shared` — a few units — matching the magnitude a popular
+row sees under the reference's sequential/hogwild updates.
+
+**gensim semantics preserved** where they matter for quality
+(SURVEY.md §8.4-1): dynamic window shrink drawn per center occurrence
+(`eff = window - U{0..window-1}`, exactly gensim's `reduced_window`),
+unigram^0.75 negative distribution, linear LR decay alpha -> min_alpha,
+both tables trained, per-epoch corpus shuffle, `min_count=0` implicit
+(node ids are the vocabulary). hogwild is replaced by batched
+deterministic SGD; hs=1 (reference DeepWalk/Struc2Vec) is replaced by
+negative sampling per the SURVEY.md §9 decision, validated by micro-F1.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass
+class SkipGramConfig:
+    embed_size: int = 128
+    window: int = 5
+    negative: int = 5  # gensim-equivalent negatives per pair (expectation)
+    k_shared: int = 64  # shared negative rows drawn per walk group
+    neg_share_walks: int = 8  # walks per negative-sharing group
+    epochs: int = 5
+    block_walks: int = 256  # walks per step (Bw)
+    alpha: float = 0.025
+    min_alpha: float = 1e-4
+    ns_exponent: float = 0.75
+    neg_table_size: int = 1 << 20
+    chunk_steps: int = 64  # scan steps per compiled chunk
+    seed: int = 0
+
+
+def corpus_counts(walks_np: np.ndarray, num_nodes: int) -> np.ndarray:
+    """Node frequency in the walk corpus (host bincount; pads masked)."""
+    ids = np.asarray(walks_np).reshape(-1)
+    ids = ids[ids >= 0]
+    return np.bincount(ids, minlength=num_nodes).astype(np.float64)
+
+
+def negative_table(
+    counts: np.ndarray, exponent: float = 0.75, size: int = 1 << 20
+) -> np.ndarray:
+    """Pre-sampled unigram^exponent table (word2vec's int lookup table).
+
+    `table[i]` holds node ids so that sampling `table[U{0..size}]` draws
+    from the unigram^exponent distribution with 1/size granularity.
+    """
+    p = np.power(np.maximum(counts, 0.0), exponent)
+    total = p.sum()
+    if total <= 0:
+        p = np.ones_like(p)
+        total = p.sum()
+    cum = np.cumsum(p) / total
+    return np.searchsorted(
+        cum, (np.arange(size) + 0.5) / size, side="left"
+    ).astype(np.int32)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "chunk_steps",
+        "block_walks",
+        "window",
+        "negative",
+        "k_shared",
+        "neg_share_walks",
+    ),
+    donate_argnums=(0, 1),
+)
+def sgns_block_chunk(
+    w_in,
+    w_out,
+    walks,
+    neg_table,
+    key,
+    alpha,
+    min_alpha,
+    t0,
+    total_steps,
+    *,
+    chunk_steps,
+    block_walks,
+    window,
+    negative,
+    k_shared,
+    neg_share_walks,
+):
+    """`chunk_steps` SGNS steps over consecutive walk blocks (one scan).
+
+    Step t trains on walks [((t0+t) % n_blocks)*Bw : +Bw]. All RNG is
+    bulk-generated before the scan (per-step RNG kernels cost ~100 µs
+    each on TPU); the loop body is gathers, batched matmuls, and
+    scatter-adds.
+    """
+    S, Bw, W, K = chunk_steps, block_walks, window, k_shared
+    g = min(neg_share_walks, Bw)
+    G = Bw // g  # negative-sharing groups per step
+    NW, L = walks.shape
+    V, D = w_in.shape
+    n_blocks = NW // Bw
+
+    k1, k2 = jax.random.split(jax.random.fold_in(key, t0))
+    # dynamic window shrink per center occurrence: eff in {1..W}
+    eff = W - (
+        jax.random.uniform(k1, (S, Bw, L)) * W
+    ).astype(jnp.int32).clip(0, W - 1)
+    # group-shared negatives: table lookup, no searchsorted
+    neg_idx = jax.random.randint(
+        k2, (S, G, K), 0, neg_table.shape[0], dtype=jnp.int32
+    )
+    negs = neg_table[neg_idx]  # [S, G, K]
+    steps = t0 + jnp.arange(S, dtype=jnp.int32)
+    lrs = jnp.maximum(
+        min_alpha,
+        alpha * (1.0 - steps.astype(jnp.float32) / total_steps),
+    )
+    offs = (steps % n_blocks) * Bw
+
+    # static window geometry: dm[l, m] = m - l
+    lgrid = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    mgrid = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    dm = jnp.abs(mgrid - lgrid)
+    window_ok = (dm >= 1) & (dm <= W)  # [L, L]
+
+    neg_w = jnp.float32(negative) / K
+
+    def step(carry, xs):
+        w_in, w_out = carry
+        off, eff_b, neg, lr = xs  # neg: [G, K]
+
+        tok = jax.lax.dynamic_slice(walks, (off, 0), (Bw, L))  # [Bw, L]
+        tok_ok = tok >= 0
+        tok_safe = jnp.where(tok_ok, tok, 0)
+
+        yin = w_in[tok_safe]  # [Bw, L, D]
+        yout = w_out[tok_safe]  # [Bw, L, D]
+        vn = w_out[neg]  # [G, K, D]
+
+        # all window logits on the MXU
+        logits = jnp.einsum(
+            "bld,bmd->blm", yin, yout, preferred_element_type=jnp.float32
+        )
+        mask = (
+            window_ok[None]
+            & (dm[None] <= eff_b[:, :, None])
+            & tok_ok[:, :, None]
+            & tok_ok[:, None, :]
+        ).astype(jnp.float32)  # [Bw, L, L] (center l, context m)
+
+        g_pos = (jax.nn.sigmoid(logits) - 1.0) * mask
+
+        # group-shared negatives scored against the group's centers
+        yin_g = yin.reshape(G, g * L, D)
+        nlog = jnp.einsum(
+            "gwd,gkd->gwk", yin_g, vn, preferred_element_type=jnp.float32
+        )  # [G, g*L, K]
+        n_pairs = jnp.sum(mask, axis=2).reshape(G, g * L)
+        # skip negatives that equal the center (gensim's collision skip)
+        neg_ok = (
+            neg[:, None, :] != tok_safe.reshape(G, g * L)[:, :, None]
+        ).astype(jnp.float32)
+        g_neg = (
+            jax.nn.sigmoid(nlog) * (n_pairs * neg_w)[:, :, None] * neg_ok
+        )  # [G, g*L, K]
+
+        d_yin = jnp.einsum(
+            "blm,bmd->bld", g_pos, yout, preferred_element_type=jnp.float32
+        ) + jnp.einsum(
+            "gwk,gkd->gwd", g_neg, vn, preferred_element_type=jnp.float32
+        ).reshape(Bw, L, D)
+        d_yout = jnp.einsum(
+            "blm,bld->bmd", g_pos, yin, preferred_element_type=jnp.float32
+        )
+        d_vn = jnp.einsum(
+            "gwk,gwd->gkd", g_neg, yin_g, preferred_element_type=jnp.float32
+        )  # [G, K, D]
+
+        # --- per-row accumulation cap (stability) ------------------------
+        # Within a batched step, a row touched by R occurrences/events
+        # accumulates R× the gradient at STALE logits; sequential SGD
+        # (gensim) interleaves re-reads and self-limits, batched SGD
+        # overshoots and diverges (measured). Scale each row's summed
+        # update by min(1, cap/R): rows move at most `cap`
+        # sequential-update magnitudes per step, matching hogwild's
+        # effective staleness (~thread count) while keeping full-rate
+        # learning for the typical R ≤ cap row.
+        cap = jnp.float32(8.0)
+        flat = tok_safe.reshape(-1)
+        occ = jnp.zeros((V,), jnp.float32).at[flat].add(1.0)
+        tok_scale = jnp.minimum(1.0, cap / jnp.maximum(occ[flat], 1.0))[
+            :, None
+        ]
+        # negative rows: accumulated event weight = n_pairs·neg_w summed
+        # over the group's centers (σ ≤ 1), plus cross-group collisions
+        nflat = neg.reshape(-1)
+        neg_weight = jnp.broadcast_to(
+            jnp.sum(n_pairs * neg_w, axis=1)[:, None], (G, K)
+        ).reshape(-1)
+        nocc = jnp.zeros((V,), jnp.float32).at[nflat].add(neg_weight)
+        neg_scale = jnp.minimum(1.0, cap / jnp.maximum(nocc[nflat], 1.0))[
+            :, None
+        ]
+
+        w_in = w_in.at[flat].add((-lr) * d_yin.reshape(-1, D) * tok_scale)
+        w_out = w_out.at[flat].add(
+            (-lr) * d_yout.reshape(-1, D) * tok_scale
+        )
+        w_out = w_out.at[nflat].add(
+            (-lr) * d_vn.reshape(-1, D) * neg_scale
+        )
+
+        n_tot = jnp.maximum(jnp.sum(mask), 1.0)
+        loss = -(
+            jnp.sum(jax.nn.log_sigmoid(logits) * mask)
+            + jnp.sum(
+                jax.nn.log_sigmoid(-nlog)
+                * (n_pairs * neg_w)[:, :, None]
+                * neg_ok
+            )
+        ) / n_tot
+        pairs = jnp.sum(mask)
+        return (w_in, w_out), (loss, pairs)
+
+    (w_in, w_out), (losses, pairs) = jax.lax.scan(
+        step, (w_in, w_out), (offs, eff, negs, lrs)
+    )
+    return w_in, w_out, losses, pairs
+
+
+@partial(jax.jit, donate_argnums=())
+def _shuffle_walks(walks, key):
+    return walks[jax.random.permutation(key, walks.shape[0])]
+
+
+class SkipGramTrainer:
+    """High-level SGNS fit over a walk corpus."""
+
+    def __init__(self, config: SkipGramConfig | None = None, **kw):
+        self.config = config or SkipGramConfig(**kw)
+
+    def init_tables(self, num_nodes, key):
+        cfg = self.config
+        # gensim init: input ~ U(-0.5/D, 0.5/D), output zeros
+        w_in = (
+            jax.random.uniform(key, (num_nodes, cfg.embed_size)) - 0.5
+        ) / cfg.embed_size
+        w_out = jnp.zeros((num_nodes, cfg.embed_size), jnp.float32)
+        return w_in, w_out
+
+    def fit(self, walks, num_nodes, key=None):
+        """Train tables over the corpus; returns (w_in, w_out, losses)."""
+        cfg = self.config
+        if key is None:
+            key = jax.random.PRNGKey(cfg.seed)
+        k_init, k_shuf, k_train = jax.random.split(key, 3)
+        w_in, w_out = self.init_tables(num_nodes, k_init)
+
+        walks = jnp.asarray(walks)
+        NW = walks.shape[0]
+        bw = min(cfg.block_walks, NW)
+        n_blocks = max(NW // bw, 1)
+        steps_per_epoch = n_blocks
+        n_steps = cfg.epochs * steps_per_epoch
+        chunks_per_epoch = max(
+            (steps_per_epoch + cfg.chunk_steps - 1) // cfg.chunk_steps, 1
+        )
+
+        table = jnp.asarray(
+            negative_table(
+                corpus_counts(np.asarray(walks), num_nodes),
+                cfg.ns_exponent,
+                cfg.neg_table_size,
+            )
+        )
+
+        losses = []
+        t = 0
+        total_steps = jnp.float32(n_steps)
+        for epoch in range(cfg.epochs):
+            shuffled = _shuffle_walks(
+                walks, jax.random.fold_in(k_shuf, epoch)
+            )
+            for c in range(chunks_per_epoch):
+                w_in, w_out, l, _ = sgns_block_chunk(
+                    w_in,
+                    w_out,
+                    shuffled,
+                    table,
+                    k_train,
+                    jnp.float32(cfg.alpha),
+                    jnp.float32(cfg.min_alpha),
+                    jnp.int32(t),
+                    total_steps,
+                    chunk_steps=cfg.chunk_steps,
+                    block_walks=bw,
+                    window=cfg.window,
+                    negative=cfg.negative,
+                    k_shared=min(cfg.k_shared, num_nodes),
+                    neg_share_walks=cfg.neg_share_walks,
+                )
+                losses.append(l)
+                t += cfg.chunk_steps
+        return w_in, w_out, jnp.concatenate(losses)

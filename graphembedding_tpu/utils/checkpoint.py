@@ -1,0 +1,70 @@
+"""Checkpoint / resume (Orbax) + preprocessing artifact cache.
+
+Reference counterpart: the reference's only persistence is Struc2Vec's
+stage pickles in `temp_path` (SURVEY.md §6). Here:
+
+- `save_state` / `load_state` checkpoint any pytree of arrays (embedding
+  tables, optimizer state, RNG key, step counter) via Orbax — the
+  restartable-step-loop story for long multi-host runs;
+- `cache_artifact` / `load_artifact` generalize the reference's
+  `temp_path` idea: host-side preprocessing products (CSR, alias tables,
+  struc2vec context graphs) cached on disk keyed by a content hash.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+from typing import Any, Optional
+
+import numpy as np
+
+
+def _ocp():
+    import orbax.checkpoint as ocp
+
+    return ocp
+
+
+def save_state(path: str, state: Any) -> None:
+    """Checkpoint a pytree of arrays to `path` (overwrites)."""
+    ocp = _ocp()
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, state, force=True)
+
+
+def load_state(path: str, template: Optional[Any] = None) -> Any:
+    """Restore a pytree checkpoint; `template` fixes structure/dtypes."""
+    ocp = _ocp()
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    if template is not None:
+        return ckptr.restore(path, item=template)
+    return ckptr.restore(path)
+
+
+def content_key(*arrays, extra: str = "") -> str:
+    """Stable hash key for preprocessing artifacts."""
+    h = hashlib.sha1()
+    for a in arrays:
+        h.update(np.ascontiguousarray(a).tobytes())
+    h.update(extra.encode())
+    return h.hexdigest()[:16]
+
+
+def cache_artifact(cache_dir: str, key: str, obj: Any) -> str:
+    os.makedirs(cache_dir, exist_ok=True)
+    p = os.path.join(cache_dir, f"{key}.pkl")
+    with open(p, "wb") as f:
+        pickle.dump(obj, f)
+    return p
+
+
+def load_artifact(cache_dir: str, key: str) -> Optional[Any]:
+    p = os.path.join(cache_dir, f"{key}.pkl")
+    if not os.path.exists(p):
+        return None
+    with open(p, "rb") as f:
+        return pickle.load(f)

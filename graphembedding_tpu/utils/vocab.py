@@ -1,0 +1,52 @@
+"""Node-name <-> integer-index vocabulary.
+
+Node names (strings in the reference's edgelist files) never touch the
+device: everything on-device is int32 indices. This module is the only place
+that maps back and forth.
+
+Reference parity: `ge/utils.py — preprocess_nxgraph` returns
+`(idx2node, node2idx)` with indices assigned in `graph.nodes()` iteration
+order; we reproduce that exactly so embeddings dictionaries line up.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Hashable, Iterable, List, Tuple
+
+
+class Vocab:
+    """Bidirectional node<->index mapping with stable insertion order."""
+
+    __slots__ = ("idx2node", "node2idx")
+
+    def __init__(self, nodes: Iterable[Hashable] = ()):  # noqa: D107
+        self.idx2node: List[Hashable] = []
+        self.node2idx: Dict[Hashable, int] = {}
+        for n in nodes:
+            self.add(n)
+
+    def add(self, node: Hashable) -> int:
+        idx = self.node2idx.get(node)
+        if idx is None:
+            idx = len(self.idx2node)
+            self.node2idx[node] = idx
+            self.idx2node.append(node)
+        return idx
+
+    def __len__(self) -> int:
+        return len(self.idx2node)
+
+    def __contains__(self, node: Hashable) -> bool:
+        return node in self.node2idx
+
+    def __getitem__(self, node: Hashable) -> int:
+        return self.node2idx[node]
+
+    def names(self, indices: Iterable[int]) -> List[Hashable]:
+        return [self.idx2node[i] for i in indices]
+
+
+def preprocess_nxgraph(graph) -> Tuple[List, Dict]:
+    """Reference-API shim: (idx2node, node2idx) in graph.nodes() order."""
+    vocab = Vocab(graph.nodes())
+    return vocab.idx2node, vocab.node2idx

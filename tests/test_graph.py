@@ -1,0 +1,73 @@
+import numpy as np
+import pytest
+
+from graphembedding_tpu.graph import Graph
+from graphembedding_tpu.utils.vocab import Vocab
+
+
+def toy_graph(directed=True):
+    # 0->1, 0->2, 1->2, 2->0, 3 isolated-ish (3->0)
+    src = np.array([0, 0, 1, 2, 3])
+    dst = np.array([1, 2, 2, 0, 0])
+    w = np.array([1.0, 2.0, 1.0, 1.0, 1.0], dtype=np.float32)
+    return Graph(src, dst, w, num_nodes=4, directed=directed)
+
+
+def test_csr_build():
+    g = toy_graph()
+    assert g.num_nodes == 4
+    assert g.num_edges == 5
+    np.testing.assert_array_equal(g.row_ptr, [0, 2, 3, 4, 5])
+    np.testing.assert_array_equal(g.neighbors(0), [1, 2])
+    np.testing.assert_array_equal(g.neighbors(2), [0])
+    np.testing.assert_array_equal(g.out_weights(0), [1.0, 2.0])
+
+
+def test_csr_columns_sorted():
+    rng = np.random.default_rng(0)
+    src = rng.integers(0, 50, 500)
+    dst = rng.integers(0, 50, 500)
+    g = Graph(src, dst, num_nodes=50)
+    for v in range(50):
+        nbrs = g.neighbors(v)
+        assert np.all(np.diff(nbrs) >= 0)
+
+
+def test_undirected_doubles_edges():
+    g = toy_graph(directed=False)
+    assert g.num_edges == 10
+    assert 0 in g.neighbors(1)  # reverse edge exists
+
+
+def test_device_padding():
+    g = toy_graph()
+    dg = g.device
+    assert dg.col_idx.shape[0] % 128 == 0
+    assert int(dg.col_idx[g.num_edges]) == -1  # padding marker
+
+
+def test_neighbor_matrix():
+    g = toy_graph()
+    nm = g.neighbor_matrix
+    nbr = np.asarray(nm.nbr)
+    w = np.asarray(nm.nbr_w)
+    assert set(nbr[0][w[0] > 0].tolist()) == {1, 2}
+    assert np.all(nbr[0][w[0] == 0] == -1)
+
+
+def test_from_nx_matches_reference_order():
+    nx = pytest.importorskip("networkx")
+    G = nx.DiGraph()
+    G.add_weighted_edges_from([("a", "b", 2.0), ("b", "c", 1.0),
+                               ("c", "a", 1.0)])
+    g = Graph.from_nx(G)
+    assert g.vocab.idx2node == list(G.nodes())
+    assert g.num_edges == 3
+    assert g.directed
+
+
+def test_vocab_roundtrip():
+    v = Vocab(["x", "y", "z"])
+    assert v["y"] == 1
+    assert v.names([2, 0]) == ["z", "x"]
+    assert len(v) == 3

@@ -1,0 +1,124 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graphembedding_tpu.graph import Graph
+from graphembedding_tpu.parallel.mesh import make_mesh
+from graphembedding_tpu.parallel.sgns import sharded_sgns_chunk
+from graphembedding_tpu.parallel.walks import (
+    partition_csr,
+    simulate_walks_distributed,
+)
+
+
+def ring_graph(n=32):
+    src = np.arange(n)
+    dst = (src + 1) % n
+    return Graph(src, dst, directed=False)
+
+
+def test_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.shape["data"] * mesh.shape["model"] == len(jax.devices())
+    mesh2 = make_mesh((2, 4))
+    assert mesh2.shape == {"data": 2, "model": 4}
+
+
+def test_partition_csr_roundtrip():
+    g = ring_graph(10)
+    parts = partition_csr(g, 4)
+    vp = parts["vp"]
+    # reassemble neighbor sets from shards
+    for v in range(g.num_nodes):
+        s, lv = divmod(v, vp)
+        lo = parts["row_ptr"][s][lv]
+        hi = parts["row_ptr"][s][lv + 1]
+        nbrs = parts["col_idx"][s][lo:hi]
+        np.testing.assert_array_equal(np.sort(nbrs), np.sort(g.neighbors(v)))
+        assert parts["degree"][s][lv] == g.degree[v]
+
+
+def test_distributed_walks_match_structure():
+    g = ring_graph(32)
+    mesh = make_mesh((len(jax.devices()), 1))
+    walks, overflow = simulate_walks_distributed(
+        g, mesh, num_walks=4, walk_length=6, key=jax.random.PRNGKey(0),
+        slack=8,
+    )
+    assert overflow == 0
+    assert walks.shape == (32 * 4, 6)
+    # every consecutive pair is a real edge of the ring
+    for row in walks[:50]:
+        for a, b in zip(row[:-1], row[1:]):
+            if a < 0 or b < 0:
+                continue
+            assert abs(a - b) in (1, 31)
+    # all nodes walked
+    assert set(walks[:, 0].tolist()) == set(range(32))
+
+
+def test_distributed_walk_distribution_uniform():
+    # star graph: hub 0, leaves 1..9 — from hub, next is uniform leaf
+    k = 9
+    src = np.zeros(k, dtype=int)
+    dst = np.arange(1, k + 1)
+    g = Graph(src, dst, directed=False)
+    mesh = make_mesh((len(jax.devices()), 1))
+    walks, overflow = simulate_walks_distributed(
+        g, mesh, num_walks=400, walk_length=2, key=jax.random.PRNGKey(1),
+        slack=16,
+    )
+    hub_rows = walks[walks[:, 0] == 0]
+    freq = np.bincount(hub_rows[:, 1], minlength=k + 1)[1:]
+    freq = freq / freq.sum()
+    np.testing.assert_allclose(freq, 1 / k, atol=0.05)
+
+
+def test_sharded_sgns_runs_and_learns():
+    devs = len(jax.devices())
+    shape = (devs // 2, 2) if devs % 2 == 0 and devs > 1 else (devs, 1)
+    mesh = make_mesh(shape)
+    V, D, L = 20, 16, 8
+    rng = np.random.default_rng(2)
+    walks = []
+    for _ in range(256):
+        side = rng.integers(0, 2)
+        walks.append(rng.integers(side * 10, side * 10 + 10, size=L))
+    walks = jnp.asarray(np.asarray(walks, dtype=np.int32))
+    table = jnp.asarray(
+        rng.integers(0, V, 1 << 12).astype(np.int32)
+    )
+    w_in = jnp.asarray(rng.uniform(-0.03, 0.03, (V, D)), jnp.float32)
+    w_out = jnp.zeros((V, D), jnp.float32)
+
+    bw = 8 * shape[0]
+    fn = sharded_sgns_chunk(
+        mesh, chunk_steps=8, block_walks=bw, window=3, negative=5,
+        k_shared=8, neg_share_walks=4, sync_every=4,
+    )
+    t = 0
+    with mesh:
+        for c in range(8):
+            w_in, w_out, losses = fn(
+                w_in, w_out, walks, table, jax.random.PRNGKey(3),
+                jnp.float32(0.05), jnp.float32(1e-4), jnp.int32(t),
+                jnp.float32(64.0),
+            )
+            t += 8
+    emb = np.array(np.asarray(w_in))
+    assert np.isfinite(emb).all()
+    emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    sims = emb @ emb.T
+    within = ((sims[:10, :10].sum() - 10) / 90
+              + (sims[10:, 10:].sum() - 10) / 90) / 2
+    across = sims[:10, 10:].mean()
+    assert within > across + 0.3
+
+
+def test_dryrun_multichip():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import dryrun_multichip
+
+    dryrun_multichip(len(jax.devices()))
