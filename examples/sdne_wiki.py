@@ -1,0 +1,19 @@
+"""SDNE on Wiki — reference `examples/sdne_wiki.py [U]` parity.
+
+Canonical hyperparameters: SDNE(hidden_size=[256, 128]),
+train(batch_size=3000, epochs=40).
+"""
+
+from common import run
+
+from graphembedding_tpu.models import SDNE
+
+
+def build_and_train(ds, args):
+    model = SDNE(ds.graph, hidden_size=[256, 128], seed=args.seed)
+    model.train(batch_size=3000, epochs=40)
+    return model
+
+
+if __name__ == "__main__":
+    run("SDNE", "wiki", build_and_train)

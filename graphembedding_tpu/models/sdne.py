@@ -52,6 +52,16 @@ def _mlp(params, x):
     return x
 
 
+def mlp_activations(params, x):
+    """Per-layer activations (for allclose parity vs the numpy
+    reference in `parity.reference.mlp_forward`)."""
+    acts = []
+    for layer in params:
+        x = jax.nn.relu(x @ layer["w"] + layer["b"])
+        acts.append(x)
+    return acts
+
+
 def encode(params, a_rows):
     return _mlp(params["enc"], a_rows)
 
@@ -101,9 +111,11 @@ class SDNE:
         src, dst, w = self.graph.edges()
         A = np.zeros((V, V), dtype=np.float32)
         A[src, dst] = w
+        # A + A^T with duplicate summation — scipy-coo semantics of the
+        # reference's `_create_A_L [U]` (an edge present both ways sums)
         A_sym = np.zeros((V, V), dtype=np.float32)
-        A_sym[src, dst] = w
-        A_sym[dst, src] = w
+        np.add.at(A_sym, (src, dst), w)
+        np.add.at(A_sym, (dst, src), w)
         D = np.diag(A_sym.sum(axis=1))
         self.A = jnp.asarray(A)
         self.L = jnp.asarray((D - A_sym).astype(np.float32))
@@ -184,6 +196,99 @@ class SDNE:
                 )
                 all_losses.append(losses)
             self.losses = jnp.concatenate(all_losses)
+        self._embeddings = None
+        return self
+
+    def train_sparse(self, epochs=1, learning_rate=1e-3, row_chunk=512):
+        """Memory-scalable trainer: never materializes dense [V, V].
+
+        - encoder input layer = SpMM(A_bcoo, W1) (ops.spmm);
+        - reconstruction loss computed in row chunks under lax.scan,
+          rebuilding each adjacency row chunk from the padded neighbor
+          matrix on the fly;
+        - Laplacian term via the edge-based identity
+          tr(Y^T L Y) = Σ_i d_i||y_i||² − Σ_e w_e⟨y_s, y_d⟩
+          (ops.spmm.laplacian_quadratic) — L itself never exists.
+
+        Equivalent objective to full-batch `train` (same losses); use
+        when V is too large for the dense path.
+        """
+        from graphembedding_tpu.ops.spmm import (
+            adjacency_bcoo,
+            laplacian_quadratic,
+            sym_edges,
+        )
+
+        V = self.graph.num_nodes
+        nm = self.graph.neighbor_matrix
+        A_bcoo = adjacency_bcoo(self.graph)
+        src, dst, w, deg_w = sym_edges(self.graph)
+        tx = optax.adam(learning_rate)
+        opt_state = tx.init(self.params)
+        alpha, beta = jnp.float32(self.alpha), jnp.float32(self.beta)
+        nu1, nu2 = jnp.float32(self.nu1), jnp.float32(self.nu2)
+        n_chunks = (V + row_chunk - 1) // row_chunk
+
+        def loss_fn(params):
+            # encoder first layer via SpMM, rest dense
+            h = jax.nn.relu(
+                A_bcoo @ params["enc"][0]["w"] + params["enc"][0]["b"]
+            )
+            for layer in params["enc"][1:]:
+                h = jax.nn.relu(h @ layer["w"] + layer["b"])
+            y = h  # [V, d]
+            l1st = alpha * 2.0 * laplacian_quadratic(
+                src, dst, w, deg_w, y
+            ) / V
+
+            def chunk_l2(carry, c):
+                lo = c * row_chunk
+                idx = lo + jnp.arange(row_chunk)
+                ok = (idx < V).astype(jnp.float32)
+                idx_s = jnp.minimum(idx, V - 1)
+                a_hat = decode(params, y[idx_s])  # [C, V]
+                nbr = nm.nbr[idx_s]
+                nbr_w = nm.nbr_w[idx_s]
+                rows = jnp.zeros((row_chunk, V + 1))
+                rows = rows.at[
+                    jnp.arange(row_chunk)[:, None],
+                    jnp.where(nbr >= 0, nbr, V),
+                ].add(nbr_w)[:, :V]
+                b_ = jnp.where(rows != 0, beta, 1.0)
+                l2 = jnp.sum(
+                    jnp.sum(jnp.square((rows - a_hat) * b_), axis=-1)
+                    * ok
+                )
+                return carry + l2, None
+
+            l2nd, _ = jax.lax.scan(
+                chunk_l2, 0.0, jnp.arange(n_chunks)
+            )
+            l2nd = l2nd / V
+            reg = 0.0
+            for stack in (params["enc"], params["dec"]):
+                for layer in stack:
+                    reg = reg + nu1 * jnp.sum(jnp.abs(layer["w"])) + (
+                        nu2 * jnp.sum(jnp.square(layer["w"]))
+                    )
+            return l2nd + l1st + reg, (l2nd, l1st)
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        @jax.jit
+        def train_step(params, opt_state):
+            (loss, aux), grads = grad_fn(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        losses = []
+        for _ in range(epochs):
+            self.params, opt_state, loss = train_step(
+                self.params, opt_state
+            )
+            losses.append(loss)
+        self.losses = jnp.stack(losses)
         self._embeddings = None
         return self
 

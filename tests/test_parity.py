@@ -1,0 +1,140 @@
+"""Per-layer activation parity vs numpy reference transcriptions.
+
+BASELINE.json: "Match the reference implementation's per-layer
+activations (allclose)". The numpy side (`parity.reference`) transcribes
+the Keras/TF1 reference forward semantics; the JAX models must agree to
+float tolerance given identical weights.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graphembedding_tpu.data.datasets import synthetic_wiki
+from graphembedding_tpu.models import LINE, SDNE
+from graphembedding_tpu.models.sdne import encode, mlp_activations, sdne_loss
+from graphembedding_tpu.parity import reference as ref
+from graphembedding_tpu.train.skipgram import sgns_block_chunk
+
+
+def small_ds():
+    return synthetic_wiki(num_nodes=40, num_classes=2, avg_degree=4,
+                          seed=21)
+
+
+def test_line_logits_match_reference():
+    ds = small_ds()
+    m = LINE(ds.graph, embedding_size=8, order="all")
+    rng = np.random.default_rng(0)
+    h = rng.integers(0, 40, 64)
+    t = rng.integers(0, 40, 64)
+    # first order
+    got = np.sum(
+        np.asarray(m.first_emb)[h] * np.asarray(m.first_emb)[t], axis=-1
+    )
+    want = ref.line_forward(m.first_emb, m.context_emb, h, t, "first")
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # second order
+    got2 = np.sum(
+        np.asarray(m.second_emb)[h] * np.asarray(m.context_emb)[t],
+        axis=-1,
+    )
+    want2 = ref.line_forward(m.second_emb, m.context_emb, h, t, "second")
+    np.testing.assert_allclose(got2, want2, rtol=1e-6)
+    # loss semantics
+    s = np.ones(64)
+    np.testing.assert_allclose(
+        ref.line_loss(want, s),
+        float(-np.mean(np.log(1 / (1 + np.exp(-want)) + 1e-12))),
+        rtol=1e-6,
+    )
+
+
+def test_sdne_per_layer_activations_allclose():
+    ds = small_ds()
+    m = SDNE(ds.graph, hidden_size=[16, 8])
+    a = np.asarray(m.A)
+    enc_np = [
+        {"w": np.asarray(l["w"]), "b": np.asarray(l["b"])}
+        for l in m.params["enc"]
+    ]
+    dec_np = [
+        {"w": np.asarray(l["w"]), "b": np.asarray(l["b"])}
+        for l in m.params["dec"]
+    ]
+    want_enc, want_dec = ref.sdne_forward(enc_np, dec_np, a)
+    got_enc = [np.asarray(x) for x in mlp_activations(m.params["enc"], m.A)]
+    got_dec = [
+        np.asarray(x)
+        for x in mlp_activations(m.params["dec"],
+                                 jnp.asarray(want_enc[-1]))
+    ]
+    for g, w in zip(got_enc, want_enc):
+        np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-6)
+    for g, w in zip(got_dec, want_dec):
+        np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-6)
+
+
+def test_sdne_loss_matches_reference():
+    ds = small_ds()
+    m = SDNE(ds.graph, hidden_size=[16, 8], alpha=1e-4, beta=5.0,
+             nu1=1e-5, nu2=1e-4)
+    a = np.asarray(m.A)
+    L = np.asarray(m.L)
+    enc_np = [{"w": np.asarray(l["w"]), "b": np.asarray(l["b"])}
+              for l in m.params["enc"]]
+    dec_np = [{"w": np.asarray(l["w"]), "b": np.asarray(l["b"])}
+              for l in m.params["dec"]]
+    want_enc, want_dec = ref.sdne_forward(enc_np, dec_np, a)
+    l2nd, l1st = ref.sdne_losses(a, want_dec[-1], want_enc[-1], L,
+                                 1e-4, 5.0)
+    reg = ref.sdne_reg(enc_np, dec_np, 1e-5, 1e-4)
+
+    got, (g2, g1) = sdne_loss(
+        m.params, m.A, m.L, jnp.float32(1e-4), jnp.float32(5.0),
+        jnp.float32(1e-5), jnp.float32(1e-4)
+    )
+    np.testing.assert_allclose(float(g2), l2nd, rtol=1e-4)
+    np.testing.assert_allclose(float(g1), l1st, rtol=1e-4)
+    np.testing.assert_allclose(float(got), l2nd + l1st + reg, rtol=1e-4)
+
+
+def test_sgns_single_pair_matches_gensim_semantics():
+    """One walk of 2 tokens, window 1, one negative group: the block
+    trainer's update equals the reference per-pair SGNS update."""
+    V, D = 10, 4
+    rng = np.random.default_rng(5)
+    w_in = rng.standard_normal((V, D)).astype(np.float32) * 0.1
+    w_out = rng.standard_normal((V, D)).astype(np.float32) * 0.1
+    walks = jnp.asarray([[1, 2]], dtype=jnp.int32)
+    # negative table with a single id 7 -> negatives deterministic
+    table = jnp.full((16,), 7, jnp.int32)
+    lr = 0.5
+    got_in, got_out, losses, pairs = sgns_block_chunk(
+        jnp.asarray(w_in), jnp.asarray(w_out), walks, table,
+        jax.random.PRNGKey(0), jnp.float32(lr), jnp.float32(lr),
+        jnp.int32(0), jnp.float32(1.0),
+        chunk_steps=1, block_walks=1, window=1, negative=1, k_shared=1,
+        neg_share_walks=1,
+    )
+    assert float(pairs[0]) == 2.0  # (1->2) and (2->1)
+
+    # reference: two pairs, each with 1 negative (= node 7), applied
+    # simultaneously (pre-update reads) with K-scaled weight 1
+    d_u1, d_v2, dn1 = ref.sgns_pair_grads(w_in, w_out, 1, 2, [7])
+    d_u2, d_v1, dn2 = ref.sgns_pair_grads(w_in, w_out, 2, 1, [7])
+    want_in = w_in.copy()
+    want_out = w_out.copy()
+    want_in[1] -= lr * d_u1
+    want_in[2] -= lr * d_u2
+    want_out[2] -= lr * d_v2
+    want_out[1] -= lr * d_v1
+    want_out[7] -= lr * (dn1[0] + dn2[0]) / 2.0  # neg weight norm: the
+    # two centers' events both hit row 7; cap=8 doesn't bind, but the
+    # event weight sums to 2 -> no scaling (2 < cap) — see below
+    # Recompute exactly: neg row update is unscaled when weight <= cap.
+    want_out[7] = w_out[7] - lr * (dn1[0] + dn2[0])
+    np.testing.assert_allclose(np.asarray(got_in), want_in, rtol=1e-4,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_out), want_out, rtol=1e-4,
+                               atol=1e-6)
