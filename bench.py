@@ -72,15 +72,22 @@ def measure_tpu(n_warm=1, n_rep=3):
 
     w_in, w_out, l, pairs = chunk(w_in, w_out, 0)  # compile + warm
     _ = float(l.mean())
+    # time a WINDOW of chunks per sync so tunnel round-trip latency
+    # amortizes out of the measurement
+    chunks_per_window = 8
     times, pair_counts = [], []
     t = S
     for r in range(n_rep):
         t0 = time.time()
-        w_in, w_out, l, pairs = chunk(w_in, w_out, t)
-        p = float(pairs.sum())
+        total_pairs = 0.0
+        acc = []
+        for c in range(chunks_per_window):
+            w_in, w_out, l, pairs = chunk(w_in, w_out, t)
+            acc.append(pairs)
+            t += S
+        total_pairs = float(jnp.sum(jnp.stack([p.sum() for p in acc])))
         times.append(time.time() - t0)
-        pair_counts.append(p)
-        t += S
+        pair_counts.append(total_pairs)
     pairs_per_s = pair_counts[int(np.argmin(times))] / min(times)
     return walk_eps, pairs_per_s
 

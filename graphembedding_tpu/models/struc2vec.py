@@ -157,9 +157,6 @@ def build_context_graph(graph, max_layers=None, opt1=True, opt2=True,
 
     if max_layers is None:
         max_layers = V  # BFS terminates at the true eccentricity anyway
-    degree_lists = _bfs_degree_lists(
-        row_ptr, col_idx, deg, V, max_layers, opt1=opt1
-    )
 
     if opt2:
         cands = _similar_degree_candidates(deg, V)
@@ -172,18 +169,46 @@ def build_context_graph(graph, max_layers=None, opt1=True, opt2=True,
     # cumulative layer distances f_k(u,v) = f_{k-1} + dtw(ring_k)
     n_layers_used = 0
     dists = {}  # (u, v) -> list of cumulative distances per layer
-    for (u, v) in pairs:
-        lu, lv = degree_lists[u], degree_lists[v]
-        common = min(len(lu), len(lv))
-        if common == 0:
-            continue
-        acc = 0.0
-        per_layer = []
-        for k in range(common):
-            acc += _dtw(lu[k], lv[k], opt1=opt1)
-            per_layer.append(acc)
-        dists[(u, v)] = per_layer
-        n_layers_used = max(n_layers_used, common)
+    native_done = False
+    if opt1 and pairs:
+        # C++ fast path: BFS + RLE + DTW in one call (minutes -> ms)
+        try:
+            from graphembedding_tpu.native import (
+                native_struc2vec_distances,
+            )
+
+            pu = np.array([p[0] for p in pairs], dtype=np.int64)
+            pv = np.array([p[1] for p in pairs], dtype=np.int64)
+            ml = min(max_layers, V)
+            dist, nlay = native_struc2vec_distances(
+                row_ptr, col_idx, pu, pv, ml
+            )
+            for i, (u, v) in enumerate(pairs):
+                common = int(nlay[i])
+                if common == 0:
+                    continue
+                dists[(u, v)] = dist[i, :common].tolist()
+                n_layers_used = max(n_layers_used, common)
+            native_done = True
+        except Exception:
+            native_done = False
+
+    if not native_done:
+        degree_lists = _bfs_degree_lists(
+            row_ptr, col_idx, deg, V, max_layers, opt1=opt1
+        )
+        for (u, v) in pairs:
+            lu, lv = degree_lists[u], degree_lists[v]
+            common = min(len(lu), len(lv))
+            if common == 0:
+                continue
+            acc = 0.0
+            per_layer = []
+            for k in range(common):
+                acc += _dtw(lu[k], lv[k], opt1=opt1)
+                per_layer.append(acc)
+            dists[(u, v)] = per_layer
+            n_layers_used = max(n_layers_used, common)
 
     layer_edges: List[Dict] = [dict() for _ in range(n_layers_used)]
     for (u, v), per_layer in dists.items():

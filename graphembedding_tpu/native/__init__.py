@@ -43,6 +43,18 @@ def _load():
             ctypes.c_int64,
             ctypes.c_int32,  # opt1 flag
         ]
+        _LIB.struc2vec_distances.restype = None
+        _LIB.struc2vec_distances.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),  # row_ptr
+            ctypes.POINTER(ctypes.c_int64),  # col_idx
+            ctypes.c_int64,  # num_nodes
+            ctypes.POINTER(ctypes.c_int64),  # pair u
+            ctypes.POINTER(ctypes.c_int64),  # pair v
+            ctypes.c_int64,  # n_pairs
+            ctypes.c_int64,  # max_layers
+            ctypes.POINTER(ctypes.c_double),  # out_dist
+            ctypes.POINTER(ctypes.c_int64),  # out_nlayers
+        ]
     return _LIB
 
 
@@ -69,6 +81,35 @@ def native_build_row_alias(row_ptr, weights):
         alias.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     return accept, alias
+
+
+def native_struc2vec_distances(row_ptr, col_idx, pairs_u, pairs_v,
+                               max_layers):
+    """Cumulative struc2vec DTW distances for (u, v) pairs — C++ path.
+
+    CSR must be the symmetrized adjacency. Returns
+    (dist [n_pairs, max_layers] float64, -1 padded; n_layers [n_pairs]).
+    """
+    lib = _load()
+    rp = np.ascontiguousarray(row_ptr, dtype=np.int64)
+    ci = np.ascontiguousarray(col_idx, dtype=np.int64)
+    pu = np.ascontiguousarray(pairs_u, dtype=np.int64)
+    pv = np.ascontiguousarray(pairs_v, dtype=np.int64)
+    n_pairs = pu.shape[0]
+    dist = np.full((n_pairs, max_layers), -1.0, dtype=np.float64)
+    nlay = np.zeros(n_pairs, dtype=np.int64)
+    lib.struc2vec_distances(
+        rp.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ci.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(rp.shape[0] - 1),
+        pu.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        pv.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(n_pairs),
+        ctypes.c_int64(max_layers),
+        dist.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        nlay.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return dist, nlay
 
 
 def native_dtw(seq_a, seq_b, opt1=True) -> float:

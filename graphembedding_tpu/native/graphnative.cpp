@@ -93,3 +93,121 @@ double dtw_rle(const double* a, int64_t na, const double* b, int64_t nb,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Struc2Vec context-graph pipeline: BFS ring degree lists (opt1 RLE) +
+// cumulative DTW structural distances for a given pair list.
+// Reference counterpart: `ge/models/struc2vec.py —
+// _compute_ordered_degreelist / _compute_structural_distance [U]`,
+// which the Python fallback reproduces; this native path makes
+// wiki-scale struc2vec preprocessing seconds instead of hours.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// Per-node BFS producing, per layer, run-length-encoded sorted degree
+// sequences: pairs (degree, count).
+struct DegreeLists {
+  // flat storage: for node v, layer k: rle pairs in
+  // data[offsets[v][k] .. offsets[v][k+1])  (even = degree, odd = count)
+  std::vector<std::vector<std::vector<double>>> per_node;  // [V][layers][2m]
+};
+
+double dtw_rle_pairs(const double* a, int64_t na2, const double* b,
+                     int64_t nb2) {
+  const int64_t n = na2 / 2, m = nb2 / 2;
+  if (n == 0 || m == 0) return 0.0;
+  const double INF = 1e300;
+  std::vector<double> prev(m + 1, INF), cur(m + 1, INF);
+  prev[0] = 0.0;
+  for (int64_t i = 1; i <= n; ++i) {
+    cur[0] = INF;
+    const double ad = a[2 * (i - 1)], ac = a[2 * (i - 1) + 1];
+    for (int64_t j = 1; j <= m; ++j) {
+      const double bd = b[2 * (j - 1)], bc = b[2 * (j - 1) + 1];
+      const double mx = std::max(ad, bd);
+      const double mn = std::max(std::min(ad, bd), 1e-12);
+      const double c = (mx / mn - 1.0) * std::max(ac, bc);
+      cur[j] = c + std::min(prev[j], std::min(cur[j - 1], prev[j - 1]));
+    }
+    std::swap(prev, cur);
+  }
+  return prev[m];
+}
+
+}  // namespace
+
+extern "C" {
+
+// Compute cumulative struc2vec distances for `n_pairs` (u, v) pairs.
+// CSR must be the SYMMETRIZED adjacency. Writes, for each pair, the
+// cumulative layer distances into out_dist[p * max_layers + k]
+// (untouched layers stay at -1) and the number of common layers into
+// out_nlayers[p]. opt1 (RLE) semantics always on (reference default).
+void struc2vec_distances(const int64_t* row_ptr, const int64_t* col_idx,
+                         int64_t num_nodes, const int64_t* pu,
+                         const int64_t* pv, int64_t n_pairs,
+                         int64_t max_layers, double* out_dist,
+                         int64_t* out_nlayers) {
+  // degrees
+  std::vector<int64_t> deg(num_nodes);
+  for (int64_t v = 0; v < num_nodes; ++v)
+    deg[v] = row_ptr[v + 1] - row_ptr[v];
+
+  // BFS degree lists for every node. `visited[x] == root` marks x
+  // visited in the current BFS (epoch trick, no per-root reset).
+  std::vector<std::vector<std::vector<double>>> lists(num_nodes);
+  std::vector<int64_t> frontier, next;
+  std::vector<int64_t> ring_degs;
+  std::vector<int64_t> visited(num_nodes, -1);
+  for (int64_t root = 0; root < num_nodes; ++root) {
+    frontier.assign(1, root);
+    visited[root] = root;
+    auto& node_layers = lists[root];
+    for (int64_t layer = 0; layer < max_layers && !frontier.empty();
+         ++layer) {
+      ring_degs.clear();
+      for (int64_t v : frontier) ring_degs.push_back(deg[v]);
+      std::sort(ring_degs.begin(), ring_degs.end());
+      std::vector<double> rle;
+      for (size_t i = 0; i < ring_degs.size();) {
+        size_t j = i;
+        while (j < ring_degs.size() && ring_degs[j] == ring_degs[i]) ++j;
+        rle.push_back(static_cast<double>(ring_degs[i]));
+        rle.push_back(static_cast<double>(j - i));
+        i = j;
+      }
+      node_layers.push_back(std::move(rle));
+      next.clear();
+      for (int64_t v : frontier) {
+        for (int64_t e = row_ptr[v]; e < row_ptr[v + 1]; ++e) {
+          const int64_t u = col_idx[e];
+          if (visited[u] != root) {
+            visited[u] = root;
+            next.push_back(u);
+          }
+        }
+      }
+      frontier.swap(next);
+    }
+  }
+
+  // pair distances, cumulative over layers
+  for (int64_t p = 0; p < n_pairs; ++p) {
+    const auto& lu = lists[pu[p]];
+    const auto& lv = lists[pv[p]];
+    const int64_t common = std::min<int64_t>(
+        std::min<int64_t>(lu.size(), lv.size()), max_layers);
+    out_nlayers[p] = common;
+    double acc = 0.0;
+    for (int64_t k = 0; k < common; ++k) {
+      acc += dtw_rle_pairs(lu[k].data(),
+                           static_cast<int64_t>(lu[k].size()),
+                           lv[k].data(),
+                           static_cast<int64_t>(lv[k].size()));
+      out_dist[p * max_layers + k] = acc;
+    }
+  }
+}
+
+}  // extern "C"

@@ -286,13 +286,32 @@ class SkipGramTrainer:
         w_out = jnp.zeros((num_nodes, cfg.embed_size), jnp.float32)
         return w_in, w_out
 
-    def fit(self, walks, num_nodes, key=None):
-        """Train tables over the corpus; returns (w_in, w_out, losses)."""
+    def fit(self, walks, num_nodes, key=None, checkpoint_dir=None,
+            checkpoint_every=0, metrics=None):
+        """Train tables over the corpus; returns (w_in, w_out, losses).
+
+        checkpoint_dir/-every: Orbax-checkpoint (tables, step) every N
+        chunks and resume from the latest checkpoint if one exists —
+        the restartable step loop of SURVEY.md §6. `metrics`: optional
+        utils.metrics.MetricsLogger for per-chunk loss/pairs lines.
+        """
         cfg = self.config
         if key is None:
             key = jax.random.PRNGKey(cfg.seed)
         k_init, k_shuf, k_train = jax.random.split(key, 3)
         w_in, w_out = self.init_tables(num_nodes, k_init)
+
+        resume_step = 0
+        if checkpoint_dir:
+            from graphembedding_tpu.utils.checkpoint import load_state
+
+            try:
+                state = load_state(checkpoint_dir)
+                w_in = jnp.asarray(state["w_in"])
+                w_out = jnp.asarray(state["w_out"])
+                resume_step = int(state["step"])
+            except Exception:
+                pass  # no checkpoint yet
 
         walks = jnp.asarray(walks)
         NW = walks.shape[0]
@@ -314,12 +333,16 @@ class SkipGramTrainer:
 
         losses = []
         t = 0
+        n_chunk_calls = 0
         total_steps = jnp.float32(n_steps)
         for epoch in range(cfg.epochs):
             shuffled = _shuffle_walks(
                 walks, jax.random.fold_in(k_shuf, epoch)
             )
             for c in range(chunks_per_epoch):
+                if t < resume_step:
+                    t += cfg.chunk_steps
+                    continue
                 w_in, w_out, l, _ = sgns_block_chunk(
                     w_in,
                     w_out,
@@ -339,4 +362,29 @@ class SkipGramTrainer:
                 )
                 losses.append(l)
                 t += cfg.chunk_steps
+                n_chunk_calls += 1
+                if metrics is not None:
+                    metrics.log(
+                        kind="sgns_chunk", epoch=epoch, step=t,
+                        loss=round(float(l.mean()), 5),
+                    )
+                if (
+                    checkpoint_dir
+                    and checkpoint_every
+                    and n_chunk_calls % checkpoint_every == 0
+                ):
+                    from graphembedding_tpu.utils.checkpoint import (
+                        save_state,
+                    )
+
+                    save_state(
+                        checkpoint_dir,
+                        {
+                            "w_in": np.asarray(w_in),
+                            "w_out": np.asarray(w_out),
+                            "step": np.asarray(t),
+                        },
+                    )
+        if not losses:  # fully resumed past the end
+            losses = [jnp.zeros((0,), jnp.float32)]
         return w_in, w_out, jnp.concatenate(losses)

@@ -1,0 +1,84 @@
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from graphembedding_tpu.train.skipgram import SkipGramConfig, SkipGramTrainer
+from graphembedding_tpu.utils.checkpoint import (
+    cache_artifact,
+    content_key,
+    load_artifact,
+    load_state,
+    save_state,
+)
+from graphembedding_tpu.utils.metrics import MetricsLogger
+
+
+def test_save_load_state_roundtrip(tmp_path):
+    state = {
+        "w": np.arange(12, dtype=np.float32).reshape(3, 4),
+        "step": np.asarray(7),
+    }
+    p = str(tmp_path / "ckpt")
+    save_state(p, state)
+    got = load_state(p)
+    np.testing.assert_array_equal(got["w"], state["w"])
+    assert int(got["step"]) == 7
+
+
+def test_artifact_cache_roundtrip(tmp_path):
+    key = content_key(np.arange(5), extra="v1")
+    assert load_artifact(str(tmp_path), key) is None
+    cache_artifact(str(tmp_path), key, {"x": [1, 2, 3]})
+    assert load_artifact(str(tmp_path), key) == {"x": [1, 2, 3]}
+    # different content -> different key
+    assert content_key(np.arange(6), extra="v1") != key
+
+
+def test_trainer_checkpoint_resume(tmp_path):
+    rng = np.random.default_rng(0)
+    walks = rng.integers(0, 30, (128, 6)).astype(np.int32)
+    cfg = SkipGramConfig(embed_size=8, window=2, epochs=4,
+                         block_walks=32, k_shared=8, chunk_steps=4)
+    ckpt = str(tmp_path / "sgns")
+
+    # full run with checkpointing
+    tr = SkipGramTrainer(cfg)
+    w_in_full, _, _ = tr.fit(walks, 30, checkpoint_dir=ckpt,
+                             checkpoint_every=1)
+    state = load_state(ckpt)
+    assert int(state["step"]) > 0
+
+    # resume: a fresh fit with an existing checkpoint skips done chunks
+    # and produces finite tables
+    w_in2, _, losses2 = SkipGramTrainer(cfg).fit(
+        walks, 30, checkpoint_dir=ckpt, checkpoint_every=0
+    )
+    assert np.isfinite(np.asarray(w_in2)).all()
+    # resumed run trains fewer chunks than a cold run
+    assert losses2.shape[0] < cfg.epochs * (128 // 32)
+
+
+def test_metrics_logger(tmp_path):
+    path = str(tmp_path / "m.jsonl")
+    with MetricsLogger(path, quiet=True) as m:
+        m.log(kind="test", loss=1.5)
+        m.log(kind="test", loss=1.2)
+    lines = open(path).read().strip().split("\n")
+    assert len(lines) == 2
+    import json
+
+    rec = json.loads(lines[0])
+    assert rec["kind"] == "test" and rec["loss"] == 1.5
+
+
+def test_trainer_metrics_integration(tmp_path):
+    rng = np.random.default_rng(1)
+    walks = rng.integers(0, 20, (64, 5)).astype(np.int32)
+    cfg = SkipGramConfig(embed_size=8, window=2, epochs=1,
+                         block_walks=16, k_shared=8, chunk_steps=2)
+    path = str(tmp_path / "train.jsonl")
+    with MetricsLogger(path, quiet=True) as m:
+        SkipGramTrainer(cfg).fit(walks, 20, metrics=m)
+    assert os.path.getsize(path) > 0
