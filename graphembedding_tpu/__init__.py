@@ -22,6 +22,7 @@ Pallas) programs sharded over a `jax.sharding.Mesh`.
 
 from graphembedding_tpu.graph import Graph
 from graphembedding_tpu.models import LINE, SDNE, DeepWalk, Node2Vec, Struc2Vec
+from graphembedding_tpu.walker import BiasedWalker, RandomWalker
 
 __version__ = "0.1.0"
 
@@ -32,5 +33,7 @@ __all__ = [
     "LINE",
     "SDNE",
     "Struc2Vec",
+    "RandomWalker",
+    "BiasedWalker",
     "__version__",
 ]

@@ -292,6 +292,22 @@ class SDNE:
         self._embeddings = None
         return self
 
+    def evaluate(self):
+        """Reference-API parity (`SDNE.evaluate [U]`): full-batch loss
+        components on the current parameters."""
+        import jax.numpy as jnp
+
+        loss, (l2nd, l1st) = sdne_loss(
+            self.params, self.A, self.L, jnp.float32(self.alpha),
+            jnp.float32(self.beta), jnp.float32(self.nu1),
+            jnp.float32(self.nu2),
+        )
+        return {
+            "loss": float(loss),
+            "l_2nd": float(l2nd),
+            "l_1st": float(l1st),
+        }
+
     def get_embeddings(self) -> Dict:
         if self._embeddings is None:
             y = np.asarray(encode(self.params, self.A))

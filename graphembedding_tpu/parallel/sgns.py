@@ -5,32 +5,32 @@ threads inside gensim, SURVEY.md §3.3). Mapping to the mesh:
 
 - **model axis (TP, exact):** tables are column-sharded `[V, D/tp]`.
   Pair/negative logits need the full-D dot product, so each device
-  computes its partial `[Bw, L, L]` / `[Bw, L, K]` logits and a
+  computes its partial `[G, PL, PL]` / `[G, PL, K]` logits and a
   `psum` over `model` completes them — the only TP communication,
-  O(Bw·L·(L+K)) floats per step, riding ICI. All gradient outer
+  O(G·PL·(PL+K)) floats per step, riding ICI. All gradient outer
   products then use the *full* logits with *local* columns, so table
   updates are exact and local.
 
 - **data axis (DP, hogwild-style):** each data group consumes a
-  different walk block and scatter-updates its own table replica;
-  replicas are averaged with `pmean` every `sync_every` steps. This is
-  the cross-device analogue of the reference's lock-free hogwild
-  (gensim threads race on one table; we batch and average). Exactness
-  is deliberately traded the same way hogwild trades it; micro-F1
-  parity is validated in tests (`tests/test_parallel.py`).
+  different slice of the walk block and scatter-updates its own table
+  replica; replicas are averaged with `pmean` every `sync_every`
+  steps. This is the cross-device analogue of the reference's
+  lock-free hogwild (gensim threads race on one table; we batch and
+  average). Exactness is deliberately traded the same way hogwild
+  trades it; quality is validated in tests (`tests/test_parallel.py`).
 
-The per-device compute body is shared with the single-chip path
-(`train.skipgram.sgns_block_chunk` uses the same formulation).
+The per-device compute body uses the same packed walk-block
+formulation as the single-chip path (`train.skipgram.sgns_block_chunk`
+— P=128//L walks per MXU tile, group-shared negatives, per-row update
+caps); see that module for the performance rationale.
 """
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import PartitionSpec as P
 from jax import shard_map
+from jax.sharding import PartitionSpec as P
 
 
 def sharded_sgns_chunk(
@@ -52,67 +52,71 @@ def sharded_sgns_chunk(
     replicated (wiki-scale corpora are MBs; the edge-partitioned walk
     path in parallel/walks.py covers graphs that don't fit).
     """
+    del neg_share_walks  # superseded by the packing group (see below)
     S, W, K = chunk_steps, window, k_shared
     n_data = mesh.shape["data"]
     bw_local = block_walks // n_data
     if bw_local == 0:
         raise ValueError("block_walks must be >= data-axis size")
-    g = max(min(neg_share_walks, bw_local), 1)
-    G = bw_local // g  # negative-sharing groups per local block
     sync_every = sync_every or S
 
     def body(w_in, w_out, walks, neg_table, key, alpha, min_alpha, t0,
              total_steps):
-        # per-device shard ids
         di = jax.lax.axis_index("data")
         NW, L = walks.shape
         V, Dl = w_in.shape
         n_blocks = NW // block_walks
 
+        # packed layout: P walks per MXU tile (see train.skipgram)
+        Pk = max(min(max(128 // L, 1), bw_local), 1)
+        G = bw_local // Pk
+        PL = Pk * L
+        bw_used = G * Pk
+
         k1, k2 = jax.random.split(jax.random.fold_in(key, t0))
         eff = W - (
-            jax.random.uniform(k1, (S, bw_local, L)) * W
+            jax.random.uniform(k1, (S, G, PL)) * W
         ).astype(jnp.int32).clip(0, W - 1)
-        # independent negatives per data shard
-        k2 = jax.random.fold_in(k2, di)
+        k2 = jax.random.fold_in(k2, di)  # independent negs per shard
         neg_idx = jax.random.randint(
             k2, (S, G, K), 0, neg_table.shape[0], dtype=jnp.int32
         )
         negs = neg_table[neg_idx]
         steps = t0 + jnp.arange(S, dtype=jnp.int32)
         lrs = jnp.maximum(
-            min_alpha, alpha * (1.0 - steps.astype(jnp.float32) / total_steps)
+            min_alpha,
+            alpha * (1.0 - steps.astype(jnp.float32) / total_steps),
         )
-        # each data shard takes its slice of the global block
         offs = (steps % n_blocks) * block_walks + di * bw_local
 
-        lgrid = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
-        mgrid = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
-        dm = jnp.abs(mgrid - lgrid)
-        window_ok = (dm >= 1) & (dm <= W)
+        igrid = jax.lax.broadcasted_iota(jnp.int32, (PL, PL), 0)
+        jgrid = jax.lax.broadcasted_iota(jnp.int32, (PL, PL), 1)
+        same_walk = (igrid // L) == (jgrid // L)
+        dm = jnp.abs(jgrid % L - igrid % L)
+        window_ok = same_walk & (dm >= 1) & (dm <= W)
         neg_w = jnp.float32(negative) / K
 
         def one_step(carry, xs):
             w_in, w_out = carry
             off, eff_b, neg, lr, i = xs  # neg: [G, K]
 
-            tok = jax.lax.dynamic_slice(walks, (off, 0), (bw_local, L))
+            tok = jax.lax.dynamic_slice(walks, (off, 0), (bw_used, L))
+            tok = tok.reshape(G, PL)
             tok_ok = tok >= 0
             tok_safe = jnp.where(tok_ok, tok, 0)
 
-            yin = w_in[tok_safe]
+            yin = w_in[tok_safe]  # [G, PL, Dl]
             yout = w_out[tok_safe]
             vn = w_out[neg]  # [G, K, Dl]
-            yin_g = yin.reshape(G, g * L, Dl)
 
-            # partial logits over local columns; psum over model completes
+            # partial logits over local columns; psum over model
             logits = jax.lax.psum(
-                jnp.einsum("bld,bmd->blm", yin, yout,
+                jnp.einsum("gld,gmd->glm", yin, yout,
                            preferred_element_type=jnp.float32),
                 "model",
             )
             nlog = jax.lax.psum(
-                jnp.einsum("gwd,gkd->gwk", yin_g, vn,
+                jnp.einsum("gld,gkd->glk", yin, vn,
                            preferred_element_type=jnp.float32),
                 "model",
             )
@@ -123,26 +127,28 @@ def sharded_sgns_chunk(
                 & tok_ok[:, None, :]
             ).astype(jnp.float32)
             g_pos = (jax.nn.sigmoid(logits) - 1.0) * mask
-            n_pairs = jnp.sum(mask, axis=2).reshape(G, g * L)
-            neg_ok = (
-                neg[:, None, :] != tok_safe.reshape(G, g * L)[:, :, None]
-            ).astype(jnp.float32)
+            n_pairs = jnp.sum(mask, axis=2)
+            neg_ok = (neg[:, None, :] != tok_safe[:, :, None]).astype(
+                jnp.float32
+            )
             g_neg = (
-                jax.nn.sigmoid(nlog) * (n_pairs * neg_w)[:, :, None] * neg_ok
+                jax.nn.sigmoid(nlog)
+                * (n_pairs * neg_w)[:, :, None]
+                * neg_ok
             )
 
-            d_yin = jnp.einsum("blm,bmd->bld", g_pos, yout,
+            d_yin = jnp.einsum("glm,gmd->gld", g_pos, yout,
                                preferred_element_type=jnp.float32)
             d_yin = d_yin + jnp.einsum(
-                "gwk,gkd->gwd", g_neg, vn,
+                "glk,gkd->gld", g_neg, vn,
                 preferred_element_type=jnp.float32,
-            ).reshape(bw_local, L, Dl)
-            d_yout = jnp.einsum("blm,bld->bmd", g_pos, yin,
+            )
+            d_yout = jnp.einsum("glm,gld->gmd", g_pos, yin,
                                 preferred_element_type=jnp.float32)
-            d_vn = jnp.einsum("gwk,gwd->gkd", g_neg, yin_g,
+            d_vn = jnp.einsum("glk,gld->gkd", g_neg, yin,
                               preferred_element_type=jnp.float32)
 
-            # per-row accumulation cap — see train.skipgram for rationale
+            # per-row accumulation cap — see train.skipgram
             cap = jnp.float32(8.0)
             flat = tok_safe.reshape(-1)
             occ = jnp.zeros((V,), jnp.float32).at[flat].add(1.0)
@@ -171,12 +177,12 @@ def sharded_sgns_chunk(
             # periodic DP sync: average replicas over the data axis
             do_sync = (i + 1) % sync_every == 0
             w_in = jax.lax.cond(
-                do_sync, lambda t: jax.lax.pmean(t, "data"), lambda t: t,
-                w_in,
+                do_sync, lambda t: jax.lax.pmean(t, "data"),
+                lambda t: t, w_in,
             )
             w_out = jax.lax.cond(
-                do_sync, lambda t: jax.lax.pmean(t, "data"), lambda t: t,
-                w_out,
+                do_sync, lambda t: jax.lax.pmean(t, "data"),
+                lambda t: t, w_out,
             )
 
             n_tot = jnp.maximum(jnp.sum(mask), 1.0)
@@ -203,7 +209,8 @@ def sharded_sgns_chunk(
     fn = shard_map(
         body,
         mesh=mesh,
-        in_specs=(table_spec, table_spec, rep, rep, rep, rep, rep, rep, rep),
+        in_specs=(table_spec, table_spec, rep, rep, rep, rep, rep, rep,
+                  rep),
         out_specs=(table_spec, table_spec, rep),
         check_vma=False,
     )

@@ -1,0 +1,73 @@
+"""Reference-API surface parity: everything a user of
+kangzf/GraphEmbedding expects to find (SURVEY.md §3.1)."""
+
+import numpy as np
+import pytest
+
+import graphembedding_tpu as ge
+from graphembedding_tpu.data.datasets import synthetic_wiki
+from graphembedding_tpu.utils.vocab import (
+    partition_dict,
+    partition_list,
+    partition_num,
+    preprocess_nxgraph,
+)
+
+
+def test_package_exports():
+    for name in ["DeepWalk", "Node2Vec", "LINE", "SDNE", "Struc2Vec",
+                 "Graph", "RandomWalker", "BiasedWalker"]:
+        assert hasattr(ge, name), name
+
+
+def test_random_walker_sentences():
+    ds = synthetic_wiki(num_nodes=50, num_classes=2, avg_degree=5,
+                        seed=12)
+    w = ge.RandomWalker(ds.graph, p=1, q=1)
+    sentences = w.simulate_walks(num_walks=2, walk_length=6)
+    assert len(sentences) == 100
+    assert all(isinstance(s, list) for s in sentences)
+    # node names, not indices
+    assert all(tok in ds.graph.vocab.node2idx for s in sentences
+               for tok in s)
+    # biased variant needs preprocessing hook to exist
+    w2 = ge.RandomWalker(ds.graph, p=0.5, q=2)
+    w2.preprocess_transition_probs()
+    s2 = w2.simulate_walks(num_walks=1, walk_length=4)
+    assert len(s2) == 50
+
+
+def test_partition_helpers():
+    assert partition_num(10, 2) == [5, 5]
+    assert partition_num(10, 3) == [3, 3, 3, 1]
+    parts = partition_dict({i: [i] for i in range(7)}, 2)
+    assert sum(len(p) for p in parts) == 7
+    parts2 = partition_list(list(range(7)), 3)
+    assert sum(len(p) for p in parts2) == 7
+
+
+def test_preprocess_nxgraph():
+    nx = pytest.importorskip("networkx")
+    G = nx.path_graph(4)
+    idx2node, node2idx = preprocess_nxgraph(G)
+    assert idx2node == list(G.nodes())
+    assert all(node2idx[n] == i for i, n in enumerate(idx2node))
+
+
+def test_sdne_evaluate():
+    ds = synthetic_wiki(num_nodes=40, num_classes=2, avg_degree=4,
+                        seed=13)
+    m = ge.SDNE(ds.graph, hidden_size=[16, 8])
+    res = m.evaluate()
+    assert set(res) == {"loss", "l_2nd", "l_1st"}
+    assert np.isfinite(res["loss"])
+
+
+def test_models_accept_reference_kwargs():
+    """workers/verbose/etc. accepted (ignored) for drop-in migration."""
+    ds = synthetic_wiki(num_nodes=30, num_classes=2, avg_degree=4,
+                        seed=14)
+    m = ge.DeepWalk(ds.graph, walk_length=4, num_walks=2, workers=4)
+    m.train(embed_size=8, window_size=2, workers=4, iter=1,
+            block_walks=16, k_shared=4)
+    assert len(m.get_embeddings()) == 30
