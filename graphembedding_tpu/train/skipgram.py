@@ -156,7 +156,6 @@ def sgns_block_chunk(
     S, Bw, W, K = chunk_steps, block_walks, window, k_shared
     NW, L = walks.shape
     V, D = w_in.shape
-    n_blocks = NW // Bw
 
     # --- walk packing (MXU efficiency) --------------------------------
     # A [L, L] window-logit matmul pads L (=10 typically) up to the
@@ -166,8 +165,12 @@ def sgns_block_chunk(
     # as the negative-sharing group (`neg_share_walks` is treated as a
     # lower bound folded into P).
     P = max(min(max(128 // L, 1), Bw), 1)
-    G = Bw // P  # packed groups per step; caller rounds Bw to P·G
+    G = Bw // P  # packed groups per step
     PL = P * L
+    Bw = G * P  # round the block down to whole packing groups so a
+    # caller-supplied block_walks that P doesn't divide still works
+    # (the trainer pre-rounds; direct callers like bench.py may not)
+    n_blocks = max(NW // Bw, 1)
     del neg_share_walks  # superseded by the packing group
 
     k1, k2 = jax.random.split(jax.random.fold_in(key, t0))

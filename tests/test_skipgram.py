@@ -151,3 +151,23 @@ def test_trainer_end_to_end_two_cliques():
     within = (sims[:10, :10].sum() - 10) / 90 + (sims[10:, 10:].sum() - 10) / 90
     across = sims[:10, 10:].mean()
     assert within / 2 > across + 0.2
+
+
+def test_sgns_chunk_rounds_nondivisible_block():
+    """block_walks not a multiple of the packing factor P=128//L must
+    work when calling the chunk directly (bench.py regression)."""
+    rng = np.random.default_rng(2)
+    V, NW, L = 40, 300, 10  # P = 12; Bw=256 is not a multiple of 12
+    walks = rng.integers(0, V, (NW, L)).astype(np.int32)
+    table = jnp.asarray(negative_table(corpus_counts(walks, V), size=2048))
+    w_in = (jax.random.uniform(jax.random.PRNGKey(0), (V, 8)) - 0.5) / 8
+    w_out = jnp.zeros((V, 8))
+    w_in, w_out, l, pairs = sgns_block_chunk(
+        w_in, w_out, jnp.asarray(walks), table,
+        jax.random.PRNGKey(1), jnp.float32(0.05), jnp.float32(1e-4),
+        jnp.int32(0), jnp.float32(64),
+        chunk_steps=4, block_walks=256, window=3, negative=5,
+        k_shared=16, neg_share_walks=8,
+    )
+    assert np.isfinite(np.asarray(l)).all()
+    assert float(pairs.min()) > 0
