@@ -48,7 +48,7 @@ class WalkEmbeddingModel:
         negative=5,
         alpha=0.025,
         min_alpha=1e-4,
-        block_walks=256,
+        block_walks=2016,
         k_shared=64,
         neg_share_walks=8,
         **kwargs,
