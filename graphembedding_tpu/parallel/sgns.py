@@ -96,8 +96,13 @@ def sharded_sgns_chunk(
         window_ok = same_walk & (dm >= 1) & (dm <= W)
         neg_w = jnp.float32(negative) / K
 
+        # fused [V, 2Dl] local table — one gather/scatter per token
+        # instead of two, occupancy counts riding the gradient scatter;
+        # same row-issue economy as train.skipgram (see there)
+        w_cat0 = jnp.concatenate([w_in, w_out], axis=1)
+
         def one_step(carry, xs):
-            w_in, w_out = carry
+            w_cat = carry
             off, eff_b, neg, lr, i = xs  # neg: [G, K]
 
             tok = jax.lax.dynamic_slice(walks, (off, 0), (bw_used, L))
@@ -105,9 +110,10 @@ def sharded_sgns_chunk(
             tok_ok = tok >= 0
             tok_safe = jnp.where(tok_ok, tok, 0)
 
-            yin = w_in[tok_safe]  # [G, PL, Dl]
-            yout = w_out[tok_safe]
-            vn = w_out[neg]  # [G, K, Dl]
+            y = w_cat[tok_safe]  # [G, PL, 2Dl]
+            yin = y[..., :Dl]
+            yout = y[..., Dl:]
+            vn = w_cat[neg][..., Dl:]  # [G, K, Dl]
 
             # partial logits over local columns; psum over model
             logits = jax.lax.psum(
@@ -151,38 +157,44 @@ def sharded_sgns_chunk(
             # per-row accumulation cap — see train.skipgram
             cap = jnp.float32(8.0)
             flat = tok_safe.reshape(-1)
-            occ = jnp.zeros((V,), jnp.float32).at[flat].add(1.0)
+            d_tok = jnp.concatenate(
+                [
+                    d_yin.reshape(-1, Dl),
+                    d_yout.reshape(-1, Dl),
+                    jnp.ones((G * PL, 1), jnp.float32),
+                ],
+                axis=1,
+            )
+            tbuf = (
+                jnp.zeros((V, 2 * Dl + 1), jnp.float32).at[flat].add(d_tok)
+            )
             tok_scale = jnp.minimum(
-                1.0, cap / jnp.maximum(occ[flat], 1.0)
+                1.0, cap / jnp.maximum(tbuf[:, 2 * Dl], 1.0)
             )[:, None]
             nflat = neg.reshape(-1)
             neg_weight = jnp.broadcast_to(
                 jnp.sum(n_pairs * neg_w, axis=1)[:, None], (G, K)
             ).reshape(-1)
-            nocc = jnp.zeros((V,), jnp.float32).at[nflat].add(neg_weight)
+            d_neg = jnp.concatenate(
+                [d_vn.reshape(-1, Dl), neg_weight[:, None]], axis=1
+            )
+            nbuf = (
+                jnp.zeros((V, Dl + 1), jnp.float32).at[nflat].add(d_neg)
+            )
             neg_scale = jnp.minimum(
-                1.0, cap / jnp.maximum(nocc[nflat], 1.0)
+                1.0, cap / jnp.maximum(nbuf[:, Dl], 1.0)
             )[:, None]
 
-            w_in = w_in.at[flat].add(
-                (-lr) * d_yin.reshape(-1, Dl) * tok_scale
-            )
-            w_out = w_out.at[flat].add(
-                (-lr) * d_yout.reshape(-1, Dl) * tok_scale
-            )
-            w_out = w_out.at[nflat].add(
-                (-lr) * d_vn.reshape(-1, Dl) * neg_scale
+            w_cat = w_cat + (-lr) * tbuf[:, : 2 * Dl] * tok_scale
+            w_cat = w_cat.at[:, Dl:].add(
+                (-lr) * nbuf[:, :Dl] * neg_scale
             )
 
             # periodic DP sync: average replicas over the data axis
             do_sync = (i + 1) % sync_every == 0
-            w_in = jax.lax.cond(
+            w_cat = jax.lax.cond(
                 do_sync, lambda t: jax.lax.pmean(t, "data"),
-                lambda t: t, w_in,
-            )
-            w_out = jax.lax.cond(
-                do_sync, lambda t: jax.lax.pmean(t, "data"),
-                lambda t: t, w_out,
+                lambda t: t, w_cat,
             )
 
             n_tot = jnp.maximum(jnp.sum(mask), 1.0)
@@ -191,18 +203,17 @@ def sharded_sgns_chunk(
                 + jnp.sum(jax.nn.log_sigmoid(-nlog)
                           * (n_pairs * neg_w)[:, :, None] * neg_ok)
             ) / n_tot
-            return (w_in, w_out), loss
+            return w_cat, loss
 
-        (w_in, w_out), losses = jax.lax.scan(
+        w_cat, losses = jax.lax.scan(
             one_step,
-            (w_in, w_out),
+            w_cat0,
             (offs, eff, negs, lrs, jnp.arange(S, dtype=jnp.int32)),
         )
         # final sync so returned replicas agree
-        w_in = jax.lax.pmean(w_in, "data")
-        w_out = jax.lax.pmean(w_out, "data")
+        w_cat = jax.lax.pmean(w_cat, "data")
         losses = jax.lax.pmean(losses, "data")
-        return w_in, w_out, losses
+        return w_cat[:, :Dl], w_cat[:, Dl:], losses
 
     table_spec = P(None, "model")
     rep = P()
