@@ -172,28 +172,34 @@ def hs_block_chunk(
             preferred_element_type=jnp.float32,
         )  # per (context m, level t)
 
+        # per-row accumulation cap, with occupancy counts riding the
+        # gradient scatter as an extra column (one scatter round instead
+        # of scatter+gather per table — see train.skipgram)
         cap = jnp.float32(8.0)
         flat = tok_safe.reshape(-1)
-        occ = jnp.zeros((V,), jnp.float32).at[flat].add(1.0)
+        d_tok = jnp.concatenate(
+            [d_yin.reshape(-1, D), jnp.ones((G * PL, 1), jnp.float32)],
+            axis=1,
+        )
+        tbuf = jnp.zeros((V, D + 1), jnp.float32).at[flat].add(d_tok)
         tok_scale = jnp.minimum(
-            1.0, cap / jnp.maximum(occ[flat], 1.0)
+            1.0, cap / jnp.maximum(tbuf[:, D], 1.0)
         )[:, None]
         n_pairs_ctx = jnp.sum(mask, axis=1)  # pairs per context
         tflat = pts_safe.reshape(-1)
         tweight = jnp.broadcast_to(
             n_pairs_ctx[:, :, None], pts_safe.shape
         ).reshape(-1) * pts_ok.reshape(-1)
-        tocc = jnp.zeros((n_inner,), jnp.float32).at[tflat].add(tweight)
+        d_tr = jnp.concatenate(
+            [d_tree.reshape(-1, D), tweight[:, None]], axis=1
+        )
+        rbuf = jnp.zeros((n_inner, D + 1), jnp.float32).at[tflat].add(d_tr)
         tree_scale = jnp.minimum(
-            1.0, cap / jnp.maximum(tocc[tflat], 1.0)
+            1.0, cap / jnp.maximum(rbuf[:, D], 1.0)
         )[:, None]
 
-        w_in = w_in.at[flat].add(
-            lr * d_yin.reshape(-1, D) * tok_scale
-        )
-        w_tree = w_tree.at[tflat].add(
-            lr * d_tree.reshape(-1, D) * tree_scale
-        )
+        w_in = w_in + lr * tbuf[:, :D] * tok_scale
+        w_tree = w_tree + lr * rbuf[:, :D] * tree_scale
 
         # loss: -log sigmoid((2·label - 1) · logit) summed over path
         sgn = 2.0 * label[:, None, :, :] - 1.0
