@@ -73,14 +73,20 @@ def csr_contains(row_ptr, col_idx, degree, rows, values, *, max_degree):
 @partial(jax.jit, static_argnames=("length",))
 def uniform_walks(row_ptr, col_idx, degree, starts, key, *, length):
     """DeepWalk walks: uniform next-hop. Returns i32 [B, length]."""
+    # row_ptr and degree are both indexed by `cur` every step; packing
+    # them as one [V, 2] table halves the per-walker row-issue count
+    # for the offset/degree lookups (gather issue overhead, not
+    # bandwidth, bounds the walk step)
+    rpd = jnp.stack([row_ptr[: degree.shape[0]], degree], axis=1)
 
     def step(carry, k):
         cur = carry
-        deg = jnp.where(cur >= 0, degree[_safe(cur)], 0)
+        rd = rpd[_safe(cur)]  # [B, 2]
+        deg = jnp.where(cur >= 0, rd[:, 1], 0)
         u = jax.random.uniform(k, cur.shape)
         pick = jnp.minimum((u * deg.astype(jnp.float32)).astype(jnp.int32),
                            jnp.maximum(deg - 1, 0))
-        nxt = col_idx[row_ptr[_safe(cur)] + pick]
+        nxt = col_idx[rd[:, 0] + pick]
         nxt = jnp.where(deg > 0, nxt, -1)
         return nxt, cur
 
@@ -97,17 +103,20 @@ def weighted_walks(
 ):
     """First-order weighted walks via per-node alias tables."""
 
+    rpd = jnp.stack([row_ptr[: degree.shape[0]], degree], axis=1)
+
     def step(carry, k):
         cur = carry
-        safe = _safe(cur)
-        deg = jnp.where(cur >= 0, degree[safe], 0)
+        rd = rpd[_safe(cur)]  # [B, 2] — offset + degree in one gather
+        rp = rd[:, 0]
+        deg = jnp.where(cur >= 0, rd[:, 1], 0)
         k1, k2 = jax.random.split(k)
         u1 = jax.random.uniform(k1, cur.shape)
         u2 = jax.random.uniform(k2, cur.shape)
         slot = alias_draw(
-            accept, alias, row_ptr[safe], jnp.maximum(deg, 1), u1, u2
+            accept, alias, rp, jnp.maximum(deg, 1), u1, u2
         )
-        nxt = col_idx[row_ptr[safe] + slot]
+        nxt = col_idx[rp + slot]
         nxt = jnp.where(deg > 0, nxt, -1)
         return nxt, cur
 
