@@ -1,0 +1,236 @@
+"""Row-sharded SGNS: one global embedding table, partitioned by vertex.
+
+SURVEY.md §3.3's third gradient-sync mode — "sharded tables +
+all-to-all of (index, grad) pairs for embedding rows owned elsewhere" —
+and the mode that scales the VERTEX dimension: each device owns rows
+[lo, hi) of the fused [V, 2D] table, so a table that exceeds one chip's
+HBM spreads over the mesh. The reference has no analogue (its largest
+table is KBs; SURVEY.md §3.3).
+
+Exchange pattern (all static shapes, ICI collectives only):
+
+- fetch: every device `all_gather`s its needed row ids (int32 — cheap),
+  each owner contributes its owned rows for every requester, and one
+  `psum_scatter` returns to each device exactly its requested rows
+  (each row has a unique owner, so the sum is a select).
+- update: gradients for the same ids (plus the occupancy-count column
+  riding along, see train.skipgram) are `all_gather`ed back; each owner
+  scatter-adds the entries it owns and applies the per-row cap as a
+  dense rowwise multiply over its shard — the cap therefore sees the
+  GLOBAL per-row occupancy, and every step is an exact synchronous
+  update of the single global table (no replica drift, no pmean):
+  semantically identical to the single-chip trainer at n× the block
+  throughput.
+
+Comm volume per step per device: O(n·T) int32 ids + O(n·T·D) floats
+(T = tokens + negatives per device). The id-bucketed variant would cut
+the float volume to O(T·D) at the price of dynamic bucketing + overflow
+bias (the distributed-walk engine in parallel/walks.py shows that
+pattern); at D=128 and ICI bandwidths the gathered form stays
+comm-light for meshes up to pod-slice size, and XLA overlaps the
+all_gather with the preceding step's compute.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+
+def fetch_rows(w_local, ids, lo, axis_name):
+    """Fetch global table rows `ids` from their owner shards.
+
+    w_local: [Vp, C] this device's row shard (global rows [lo, lo+Vp)).
+    ids: [T] global row ids needed by THIS device.
+    Returns [T, C] rows of the global table.
+    """
+    Vp = w_local.shape[0]
+    ids_all = jax.lax.all_gather(ids, axis_name)  # [n, T]
+    local = ids_all - lo
+    owned = (local >= 0) & (local < Vp)
+    rows = jnp.where(
+        owned[..., None], w_local[jnp.clip(local, 0, Vp - 1)], 0.0
+    )  # [n, T, C]
+    # device j's block of the scatter = sum over owners of rows[j]
+    # — exactly its requested rows (each id has one owner); tiled
+    # scatter leaves a leading block axis of size 1 to squeeze
+    return jax.lax.psum_scatter(
+        rows, axis_name, scatter_dimension=0, tiled=True
+    )[0]
+
+
+def push_grads(w_local, ids, grads, lo, axis_name):
+    """Scatter-add every device's (ids, grads) into the owners' shards.
+
+    grads: [T, C] this device's gradient rows for `ids`.
+    Returns updated w_local plus the accumulated buffer (callers apply
+    lr/cap scaling densely before adding, so this returns the buffer).
+    """
+    Vp = w_local.shape[0]
+    ids_all = jax.lax.all_gather(ids, axis_name)  # [n, T]
+    grads_all = jax.lax.all_gather(grads, axis_name)  # [n, T, C]
+    local = ids_all - lo
+    owned = (local >= 0) & (local < Vp)
+    flat = jnp.where(owned, local, Vp).reshape(-1)  # Vp = drop slot
+    buf = jnp.zeros((Vp + 1, grads.shape[-1]), w_local.dtype)
+    buf = buf.at[flat].add(grads_all.reshape(flat.shape[0], -1))
+    return buf[:Vp]
+
+
+def rowsharded_sgns_chunk(
+    mesh,
+    *,
+    chunk_steps,
+    block_walks,
+    window,
+    negative,
+    k_shared,
+):
+    """Build the jitted row-sharded chunk fn over `mesh`'s data axis.
+
+    Returns fn(w_cat [V, 2D] sharded P('data', None), walks, neg_table,
+    key, alpha, min_alpha, t0, total_steps) -> (w_cat, losses).
+    Requires V divisible by the data-axis size (pad the vocab).
+    Each device consumes its own `block_walks // n` slice of every walk
+    block, so a chunk trains `block_walks` walks per step globally.
+    """
+    S, W, K = chunk_steps, window, k_shared
+    n = mesh.shape["data"]
+    bw_local = block_walks // n
+    if bw_local == 0:
+        raise ValueError("block_walks must be >= data-axis size")
+
+    def body(w_cat, walks, neg_table, key, alpha, min_alpha, t0,
+             total_steps):
+        di = jax.lax.axis_index("data")
+        NW, L = walks.shape
+        Vp, C = w_cat.shape  # local shard; C = 2D
+        D = C // 2
+        lo = di * Vp
+        n_blocks = NW // block_walks
+
+        Pk = max(min(max(128 // L, 1), bw_local), 1)
+        G = bw_local // Pk
+        PL = Pk * L
+        bw_used = G * Pk
+
+        k1, k2 = jax.random.split(jax.random.fold_in(key, t0))
+        eff = W - (
+            jax.random.uniform(jax.random.fold_in(k1, di), (S, G, PL)) * W
+        ).astype(jnp.int32).clip(0, W - 1)
+        neg_idx = jax.random.randint(
+            jax.random.fold_in(k2, di), (S, G, K), 0, neg_table.shape[0],
+            dtype=jnp.int32,
+        )
+        negs = neg_table[neg_idx]
+        steps = t0 + jnp.arange(S, dtype=jnp.int32)
+        lrs = jnp.maximum(
+            min_alpha,
+            alpha * (1.0 - steps.astype(jnp.float32) / total_steps),
+        )
+        offs = (steps % n_blocks) * block_walks + di * bw_local
+
+        igrid = jax.lax.broadcasted_iota(jnp.int32, (PL, PL), 0)
+        jgrid = jax.lax.broadcasted_iota(jnp.int32, (PL, PL), 1)
+        same_walk = (igrid // L) == (jgrid // L)
+        dm = jnp.abs(jgrid % L - igrid % L)
+        window_ok = same_walk & (dm >= 1) & (dm <= W)
+        neg_w = jnp.float32(negative) / K
+
+        from graphembedding_tpu.ops.pallas_sgns import (
+            sgns_block_grads_xla,
+        )
+
+        def one_step(carry, xs):
+            w_cat = carry
+            off, eff_b, neg, lr = xs
+
+            tok = jax.lax.dynamic_slice(walks, (off, 0), (bw_used, L))
+            tok = tok.reshape(G, PL)
+            tok_ok = tok >= 0
+            tok_safe = jnp.where(tok_ok, tok, 0)
+
+            ids = jnp.concatenate(
+                [tok_safe.reshape(-1), neg.reshape(-1)]
+            )  # [T]
+            rows = fetch_rows(w_cat, ids, lo, "data")  # [T, 2D]
+            y = rows[: G * PL].reshape(G, PL, C)
+            yin = y[..., :D]
+            yout = y[..., D:]
+            vn = rows[G * PL :, D:].reshape(G, K, D)
+
+            mask = (
+                window_ok[None]
+                & (dm[None] <= eff_b[:, :, None])
+                & tok_ok[:, :, None]
+                & tok_ok[:, None, :]
+            ).astype(jnp.float32)
+            n_pairs = jnp.sum(mask, axis=2)
+            neg_ok = (neg[:, None, :] != tok_safe[:, :, None]).astype(
+                jnp.float32
+            )
+
+            d_yin, d_yout, d_vn, loss_g = sgns_block_grads_xla(
+                yin, yout, vn, mask, neg_ok, neg_w
+            )
+
+            # (grad, occupancy-weight) rows back to their owners —
+            # token and negative events pushed separately because each
+            # carries its own cap statistic (same as train.skipgram's
+            # tbuf/nbuf split)
+            cap = jnp.float32(8.0)
+            g_tok = jnp.concatenate(
+                [
+                    d_yin.reshape(-1, D),
+                    d_yout.reshape(-1, D),
+                    jnp.ones((G * PL, 1), jnp.float32),
+                ],
+                axis=1,
+            )
+            tbuf = push_grads(
+                w_cat, tok_safe.reshape(-1), g_tok, lo, "data"
+            )  # [Vp, 2D+1]
+            tok_scale = jnp.minimum(
+                1.0, cap / jnp.maximum(tbuf[:, C], 1.0)
+            )[:, None]
+            w_cat = w_cat + (-lr) * tbuf[:, :C] * tok_scale
+
+            neg_weight = jnp.broadcast_to(
+                jnp.sum(n_pairs * neg_w, axis=1)[:, None], (G, K)
+            ).reshape(-1)
+            g_neg = jnp.concatenate(
+                [d_vn.reshape(-1, D), neg_weight[:, None]], axis=1
+            )
+            nbuf = push_grads(
+                w_cat, neg.reshape(-1), g_neg, lo, "data"
+            )  # [Vp, D+1]
+            neg_scale = jnp.minimum(
+                1.0, cap / jnp.maximum(nbuf[:, D], 1.0)
+            )[:, None]
+            w_cat = w_cat.at[:, D:].add(
+                (-lr) * nbuf[:, :D] * neg_scale
+            )
+
+            n_tot = jnp.maximum(jnp.sum(mask), 1.0)
+            loss = jax.lax.psum(jnp.sum(loss_g), "data") / jax.lax.psum(
+                n_tot, "data"
+            )
+            pairs = jnp.sum(mask)
+            del pairs
+            return w_cat, loss
+
+        w_cat, losses = jax.lax.scan(
+            one_step, w_cat, (offs, eff, negs, lrs)
+        )
+        return w_cat, losses
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P("data"), P(), P(), P(), P(), P(), P(), P()),
+        out_specs=(P("data"), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn, donate_argnums=(0,))

@@ -122,3 +122,95 @@ def test_dryrun_multichip():
     from __graft_entry__ import dryrun_multichip
 
     dryrun_multichip(len(jax.devices()))
+
+
+def test_rowshard_fetch_and_push():
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from graphembedding_tpu.parallel.rowshard import fetch_rows, push_grads
+
+    devs = len(jax.devices())
+    mesh = make_mesh((devs, 1))
+    V, C = devs * 4, 8
+    w = jnp.arange(V * C, dtype=jnp.float32).reshape(V, C)
+    rng = np.random.default_rng(0)
+    T = 16
+    # each device requests its own id set
+    ids = jnp.asarray(rng.integers(0, V, (devs, T)).astype(np.int32))
+
+    def body(w_local, ids_local):
+        lo = jax.lax.axis_index("data") * (V // devs)
+        rows = fetch_rows(w_local, ids_local[0], lo, "data")
+        buf = push_grads(w_local, ids_local[0], rows, lo, "data")
+        return rows[None], buf
+
+    fn = shard_map(
+        body, mesh=mesh, in_specs=(P("data"), P("data")),
+        out_specs=(P("data"), P("data")), check_vma=False,
+    )
+    with mesh:
+        rows, buf = fn(w, ids)
+    rows = np.asarray(rows).reshape(devs, T, C)
+    ids_np = np.asarray(ids)
+    for d in range(devs):
+        np.testing.assert_array_equal(rows[d], np.asarray(w)[ids_np[d]])
+    # push: every requested row was pushed back with its own value;
+    # owner accumulates value * multiplicity
+    buf = np.asarray(buf)
+    expect = np.zeros((V, C), np.float32)
+    for d in range(devs):
+        np.add.at(expect, ids_np[d], np.asarray(w)[ids_np[d]])
+    np.testing.assert_allclose(buf, expect, rtol=1e-6)
+
+
+def test_rowsharded_sgns_runs_and_learns():
+    from graphembedding_tpu.parallel.rowshard import rowsharded_sgns_chunk
+
+    devs = len(jax.devices())
+    mesh = make_mesh((devs, 1))
+    D, L = 16, 8
+    V = ((20 + devs - 1) // devs) * devs  # pad to divisibility
+    rng = np.random.default_rng(2)
+    walks = []
+    for _ in range(256):
+        side = rng.integers(0, 2)
+        walks.append(rng.integers(side * 10, side * 10 + 10, size=L))
+    walks = jnp.asarray(np.asarray(walks, dtype=np.int32))
+    table = jnp.asarray(rng.integers(0, 20, 1 << 12).astype(np.int32))
+    w_cat = jnp.concatenate(
+        [
+            jnp.asarray(rng.uniform(-0.03, 0.03, (V, D)), jnp.float32),
+            jnp.zeros((V, D), jnp.float32),
+        ],
+        axis=1,
+    )
+    # the global step trains block_walks walks at once over only 20
+    # distinct vertices; keep lr/block gentle at this toy density
+    bw = 4 * devs
+    fn = rowsharded_sgns_chunk(
+        mesh, chunk_steps=8, block_walks=bw, window=3, negative=5,
+        k_shared=8,
+    )
+    t = 0
+    first = last = None
+    with mesh:
+        for c in range(8):
+            w_cat, losses = fn(
+                w_cat, walks, table, jax.random.PRNGKey(3),
+                jnp.float32(0.02), jnp.float32(1e-4), jnp.int32(t),
+                jnp.float32(64.0),
+            )
+            if first is None:
+                first = float(jnp.mean(losses))
+            last = float(jnp.mean(losses))
+            t += 8
+    assert np.isfinite(first) and np.isfinite(last)
+    emb = np.asarray(w_cat)[:20, :D]
+    assert np.isfinite(emb).all()
+    emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    sims = emb @ emb.T
+    within = ((sims[:10, :10].sum() - 10) / 90
+              + (sims[10:, 10:].sum() - 10) / 90) / 2
+    across = sims[:10, 10:].mean()
+    assert within > across + 0.3
