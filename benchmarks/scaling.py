@@ -107,6 +107,46 @@ def main():
         rows.append(row)
         print(json.dumps(row))
 
+    # row-sharded mode (one global table, exchange per step) at full n
+    from graphembedding_tpu.parallel.rowshard import rowsharded_sgns_chunk
+
+    n = sizes[-1]
+    mesh = make_mesh((n, 1), devices=jax.devices()[:n])
+    S, bw = 16, 32 * n
+    Vp = ((g.num_nodes + n - 1) // n) * n
+    w_cat = jnp.zeros((Vp, 256), jnp.float32)
+    w_cat = w_cat.at[: g.num_nodes, :128].set(
+        (jax.random.uniform(jax.random.PRNGKey(1),
+                            (g.num_nodes, 128)) - 0.5) / 128
+    )
+    fn = rowsharded_sgns_chunk(
+        mesh, chunk_steps=S, block_walks=bw, window=5, negative=5,
+        k_shared=32,
+    )
+    with mesh:
+        w_cat, l = fn(w_cat, walks, table, jax.random.PRNGKey(2),
+                      jnp.float32(0.025), jnp.float32(1e-4),
+                      jnp.int32(0), jnp.float32(1000.0))
+        _ = float(l.mean())
+        t0 = time.time()
+        t = S
+        for c in range(args.chunks):
+            w_cat, l = fn(w_cat, walks, table, jax.random.PRNGKey(2),
+                          jnp.float32(0.025), jnp.float32(1e-4),
+                          jnp.int32(t), jnp.float32(1000.0))
+            t += S
+        _ = float(l.mean())
+        dt = time.time() - t0
+    pairs = args.chunks * S * bw * 56
+    row = {
+        "devices": n,
+        "mode": "rowshard",
+        "pairs_per_s": round(pairs / dt),
+        "seconds": round(dt, 3),
+    }
+    rows.append(row)
+    print(json.dumps(row))
+
     if args.out:
         with open(args.out, "w") as f:
             for r in rows:
