@@ -198,7 +198,9 @@ def load_dataset(name: str) -> Dataset:
         if edges and labels:
             g = Graph.from_edgelist(edges, directed=False, weighted=False)
             return Dataset(name, g, _labels_from_file(labels))
-        return synthetic_flight()
+        # synthetic fallback at the region's real node count
+        sizes = {"brazil": 131, "europe": 399, "usa": 1190}
+        return synthetic_flight(num_nodes=sizes.get(region, 131))
     if name == "blogcatalog":
         edges = _find("blogcatalog/bc_edgelist.txt",
                       "blogcatalog/edges.csv")
