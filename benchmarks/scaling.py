@@ -92,8 +92,12 @@ def main():
                 t += S
             _ = float(l.mean())
             dt = time.time() - t0
+        # walks actually trained per step: per-device slice rounded
+        # down to whole packing groups (P = 128 // L walks per group)
+        pk = max(min(128 // args.length, bw // n), 1)
+        bw_used = ((bw // n) // pk) * pk * n
         # ~56 valid pairs per wiki walk at window 5 (measured)
-        pairs = args.chunks * S * bw * 56
+        pairs = args.chunks * S * bw_used * 56
         rate = pairs / dt
         if base_rate is None:
             base_rate = rate
@@ -137,7 +141,9 @@ def main():
             t += S
         _ = float(l.mean())
         dt = time.time() - t0
-    pairs = args.chunks * S * bw * 56
+    pk = max(min(128 // args.length, bw // n), 1)
+    bw_used = ((bw // n) // pk) * pk * n
+    pairs = args.chunks * S * bw_used * 56
     row = {
         "devices": n,
         "mode": "rowshard",

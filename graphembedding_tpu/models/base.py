@@ -48,7 +48,7 @@ class WalkEmbeddingModel:
         negative=5,
         alpha=0.025,
         min_alpha=1e-4,
-        block_walks=2016,
+        block_walks=None,  # None -> SkipGramConfig default
         k_shared=64,
         neg_share_walks=8,
         **kwargs,
@@ -59,7 +59,8 @@ class WalkEmbeddingModel:
             window=window_size,
             negative=negative,
             epochs=iter,
-            block_walks=block_walks,
+            **({} if block_walks is None else
+               {"block_walks": block_walks}),
             k_shared=k_shared,
             neg_share_walks=neg_share_walks,
             alpha=alpha,

@@ -39,17 +39,26 @@ from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 
-def fetch_rows(w_local, ids, lo, axis_name):
-    """Fetch global table rows `ids` from their owner shards.
+def gather_ids(ids, lo, Vp, axis_name):
+    """all_gather row ids once; precompute owner-local views.
 
-    w_local: [Vp, C] this device's row shard (global rows [lo, lo+Vp)).
-    ids: [T] global row ids needed by THIS device.
-    Returns [T, C] rows of the global table.
+    Returns (local [n, T], owned [n, T]) — reused by fetch and push so
+    the int32 id exchange crosses the mesh exactly once per step.
     """
-    Vp = w_local.shape[0]
     ids_all = jax.lax.all_gather(ids, axis_name)  # [n, T]
     local = ids_all - lo
     owned = (local >= 0) & (local < Vp)
+    return local, owned
+
+
+def fetch_rows_with(w_local, local, owned, axis_name):
+    """Fetch global table rows from their owner shards.
+
+    w_local: [Vp, C] this device's row shard; (local, owned) from
+    `gather_ids`. Returns [T, C] rows of the global table for THIS
+    device's requested ids.
+    """
+    Vp = w_local.shape[0]
     rows = jnp.where(
         owned[..., None], w_local[jnp.clip(local, 0, Vp - 1)], 0.0
     )  # [n, T, C]
@@ -61,22 +70,33 @@ def fetch_rows(w_local, ids, lo, axis_name):
     )[0]
 
 
-def push_grads(w_local, ids, grads, lo, axis_name):
-    """Scatter-add every device's (ids, grads) into the owners' shards.
+def push_grads_with(Vp, dtype, local, owned, grads, axis_name):
+    """Scatter-add every device's gradient rows into the owners' shards.
 
-    grads: [T, C] this device's gradient rows for `ids`.
-    Returns updated w_local plus the accumulated buffer (callers apply
-    lr/cap scaling densely before adding, so this returns the buffer).
+    grads: [T, C] this device's gradient rows, aligned with the ids
+    passed to `gather_ids`. Returns ONLY the [Vp, C] accumulation
+    buffer — callers apply lr/cap scaling densely and add it to the
+    shard themselves.
     """
-    Vp = w_local.shape[0]
-    ids_all = jax.lax.all_gather(ids, axis_name)  # [n, T]
     grads_all = jax.lax.all_gather(grads, axis_name)  # [n, T, C]
-    local = ids_all - lo
-    owned = (local >= 0) & (local < Vp)
     flat = jnp.where(owned, local, Vp).reshape(-1)  # Vp = drop slot
-    buf = jnp.zeros((Vp + 1, grads.shape[-1]), w_local.dtype)
+    buf = jnp.zeros((Vp + 1, grads.shape[-1]), dtype)
     buf = buf.at[flat].add(grads_all.reshape(flat.shape[0], -1))
     return buf[:Vp]
+
+
+def fetch_rows(w_local, ids, lo, axis_name):
+    """One-shot fetch (see fetch_rows_with)."""
+    local, owned = gather_ids(ids, lo, w_local.shape[0], axis_name)
+    return fetch_rows_with(w_local, local, owned, axis_name)
+
+
+def push_grads(w_local, ids, grads, lo, axis_name):
+    """One-shot push (see push_grads_with). Returns ONLY the buffer."""
+    local, owned = gather_ids(ids, lo, w_local.shape[0], axis_name)
+    return push_grads_with(
+        w_local.shape[0], w_local.dtype, local, owned, grads, axis_name
+    )
 
 
 def rowsharded_sgns_chunk(
@@ -93,13 +113,15 @@ def rowsharded_sgns_chunk(
     Returns fn(w_cat [V, 2D] sharded P('data', None), walks, neg_table,
     key, alpha, min_alpha, t0, total_steps) -> (w_cat, losses).
     Requires V divisible by the data-axis size (pad the vocab).
-    Each device consumes its own `block_walks // n` slice of every walk
-    block, so a chunk trains `block_walks` walks per step globally.
+    Each device consumes its own slice of every walk block; the
+    requested block is clamped to the corpus and rounded down to whole
+    packing groups per device, and block offsets stride by the rounded
+    global size, so every corpus walk is trained (nothing is dropped to
+    rounding).
     """
     S, W, K = chunk_steps, window, k_shared
     n = mesh.shape["data"]
-    bw_local = block_walks // n
-    if bw_local == 0:
+    if block_walks // n == 0:
         raise ValueError("block_walks must be >= data-axis size")
 
     def body(w_cat, walks, neg_table, key, alpha, min_alpha, t0,
@@ -109,12 +131,19 @@ def rowsharded_sgns_chunk(
         Vp, C = w_cat.shape  # local shard; C = 2D
         D = C // 2
         lo = di * Vp
-        n_blocks = NW // block_walks
-
+        if NW < n:
+            raise ValueError(
+                f"walk corpus ({NW}) smaller than data axis ({n})"
+            )
+        # clamp the requested block to the corpus, pack, and stride the
+        # block offsets by the USED sizes so no walk is ever dropped
+        bw_local = max(min(block_walks, NW) // n, 1)
         Pk = max(min(max(128 // L, 1), bw_local), 1)
         G = bw_local // Pk
         PL = Pk * L
-        bw_used = G * Pk
+        bw_used = G * Pk  # per-device walks actually trained per step
+        global_bw = n * bw_used
+        n_blocks = max(NW // global_bw, 1)
 
         k1, k2 = jax.random.split(jax.random.fold_in(key, t0))
         eff = W - (
@@ -130,7 +159,7 @@ def rowsharded_sgns_chunk(
             min_alpha,
             alpha * (1.0 - steps.astype(jnp.float32) / total_steps),
         )
-        offs = (steps % n_blocks) * block_walks + di * bw_local
+        offs = (steps % n_blocks) * global_bw + di * bw_used
 
         igrid = jax.lax.broadcasted_iota(jnp.int32, (PL, PL), 0)
         jgrid = jax.lax.broadcasted_iota(jnp.int32, (PL, PL), 1)
@@ -152,10 +181,14 @@ def rowsharded_sgns_chunk(
             tok_ok = tok >= 0
             tok_safe = jnp.where(tok_ok, tok, 0)
 
+            # one id exchange per step, shared by the fetch and both
+            # gradient pushes
             ids = jnp.concatenate(
                 [tok_safe.reshape(-1), neg.reshape(-1)]
             )  # [T]
-            rows = fetch_rows(w_cat, ids, lo, "data")  # [T, 2D]
+            local, owned = gather_ids(ids, lo, Vp, "data")
+            Tt = G * PL
+            rows = fetch_rows_with(w_cat, local, owned, "data")  # [T, 2D]
             y = rows[: G * PL].reshape(G, PL, C)
             yin = y[..., :D]
             yout = y[..., D:]
@@ -189,8 +222,9 @@ def rowsharded_sgns_chunk(
                 ],
                 axis=1,
             )
-            tbuf = push_grads(
-                w_cat, tok_safe.reshape(-1), g_tok, lo, "data"
+            tbuf = push_grads_with(
+                Vp, w_cat.dtype, local[:, :Tt], owned[:, :Tt], g_tok,
+                "data",
             )  # [Vp, 2D+1]
             tok_scale = jnp.minimum(
                 1.0, cap / jnp.maximum(tbuf[:, C], 1.0)
@@ -203,8 +237,9 @@ def rowsharded_sgns_chunk(
             g_neg = jnp.concatenate(
                 [d_vn.reshape(-1, D), neg_weight[:, None]], axis=1
             )
-            nbuf = push_grads(
-                w_cat, neg.reshape(-1), g_neg, lo, "data"
+            nbuf = push_grads_with(
+                Vp, w_cat.dtype, local[:, Tt:], owned[:, Tt:], g_neg,
+                "data",
             )  # [Vp, D+1]
             neg_scale = jnp.minimum(
                 1.0, cap / jnp.maximum(nbuf[:, D], 1.0)
@@ -217,8 +252,6 @@ def rowsharded_sgns_chunk(
             loss = jax.lax.psum(jnp.sum(loss_g), "data") / jax.lax.psum(
                 n_tot, "data"
             )
-            pairs = jnp.sum(mask)
-            del pairs
             return w_cat, loss
 
         w_cat, losses = jax.lax.scan(

@@ -159,6 +159,8 @@ def sgns_block_chunk(
     S, Bw, W, K = chunk_steps, block_walks, window, k_shared
     NW, L = walks.shape
     V, D = w_in.shape
+    Bw = min(Bw, NW)  # direct callers may pass a block larger than the
+    # corpus (the default is tuned for wiki scale); clamp before packing
 
     # --- walk packing (MXU efficiency) --------------------------------
     # A [L, L] window-logit matmul pads L (=10 typically) up to the

@@ -171,3 +171,23 @@ def test_sgns_chunk_rounds_nondivisible_block():
     )
     assert np.isfinite(np.asarray(l)).all()
     assert float(pairs.min()) > 0
+
+
+def test_sgns_chunk_block_larger_than_corpus():
+    """Direct call with block_walks > NW (e.g. the 2016 default on a
+    small corpus) must clamp, not crash (code-review regression)."""
+    rng = np.random.default_rng(3)
+    V, NW, L = 30, 100, 10
+    walks = rng.integers(0, V, (NW, L)).astype(np.int32)
+    table = jnp.asarray(negative_table(corpus_counts(walks, V), size=1024))
+    w_in = (jax.random.uniform(jax.random.PRNGKey(0), (V, 8)) - 0.5) / 8
+    w_out = jnp.zeros((V, 8))
+    w_in, w_out, l, pairs = sgns_block_chunk(
+        w_in, w_out, jnp.asarray(walks), table,
+        jax.random.PRNGKey(1), jnp.float32(0.05), jnp.float32(1e-4),
+        jnp.int32(0), jnp.float32(8),
+        chunk_steps=2, block_walks=2016, window=3, negative=5,
+        k_shared=8, neg_share_walks=8,
+    )
+    assert np.isfinite(np.asarray(l)).all()
+    assert float(pairs.min()) > 0
