@@ -1,0 +1,34 @@
+"""Smoke tests for the examples layer: every script must import, build
+its parser, and print help without touching a device — catches broken
+imports/flags in `examples/` that the model tests can't see."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+EXAMPLES = [
+    "deepwalk_wiki.py",
+    "node2vec_wiki.py",
+    "line_wiki.py",
+    "sdne_wiki.py",
+    "struc2vec_flight.py",
+]
+
+EX_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                      "examples")
+
+
+@pytest.mark.parametrize("script", EXAMPLES)
+def test_example_help_runs(script):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, os.path.join(EX_DIR, script), "--help"],
+        capture_output=True, text=True, timeout=120, env=env,
+        cwd=EX_DIR,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "--dataset" in out.stdout
+    assert "--plot" in out.stdout
