@@ -59,10 +59,12 @@ class SkipGramConfig:
     k_shared: int = 64  # shared negative rows drawn per walk group
     neg_share_walks: int = 8  # walks per negative-sharing group
     epochs: int = 5
-    block_walks: int = 2016  # walks per step (Bw); large blocks amortize
-    # per-step gather/scatter overhead (measured 52M -> 73M pairs/s on
-    # wiki going 252 -> 2016 on one v5e chip) and, with the per-row
-    # update cap bounding staleness, also measure *better* micro-F1
+    block_walks: int = 4032  # walks per step (Bw); large blocks amortize
+    # per-step gather/scatter overhead (65M -> 114M pairs/s on wiki
+    # going 252 -> 4032 on one v5e chip, fused-table layout) and, with
+    # the per-row update cap bounding staleness, also measure *better*
+    # micro-F1 (0.941 @ 252 -> 0.965 @ 4032, 2-seed mean); clamped to
+    # the corpus for small graphs
     alpha: float = 0.025
     min_alpha: float = 1e-4
     ns_exponent: float = 0.75
