@@ -104,11 +104,13 @@ def hs_block_chunk(
     NW, L = walks.shape
     V, D = w_in.shape
     T = points.shape[1]  # tree depth
-    n_blocks = NW // Bw
+    Bw = min(Bw, NW)  # clamp + round for direct callers (see skipgram)
 
     P = max(min(max(128 // L, 1), Bw), 1)
     G = Bw // P
     PL = P * L
+    Bw = G * P
+    n_blocks = max(NW // Bw, 1)
 
     k1 = jax.random.fold_in(key, t0)
     eff = W - (
