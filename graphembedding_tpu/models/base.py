@@ -51,6 +51,8 @@ class WalkEmbeddingModel:
         block_walks=None,  # None -> SkipGramConfig default
         k_shared=64,
         neg_share_walks=8,
+        mesh=None,  # jax.sharding.Mesh -> train over the mesh
+        parallel_mode="rowshard",  # 'rowshard' | 'dp' (parallel/trainer)
         **kwargs,
     ):
         del workers, kwargs
@@ -67,7 +69,16 @@ class WalkEmbeddingModel:
             min_alpha=min_alpha,
             seed=self.seed,
         )
-        trainer = SkipGramTrainer(cfg)
+        if mesh is not None:
+            from graphembedding_tpu.parallel.trainer import (
+                DistributedSkipGramTrainer,
+            )
+
+            trainer = DistributedSkipGramTrainer(
+                mesh, cfg, mode=parallel_mode
+            )
+        else:
+            trainer = SkipGramTrainer(cfg)
         key = jax.random.PRNGKey(self.seed + 1)
         self.w_in, self.w_out, self.losses = trainer.fit(
             self.walks, self.graph.num_nodes, key

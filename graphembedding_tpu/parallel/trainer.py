@@ -1,0 +1,134 @@
+"""User-facing distributed SGNS trainer over a device mesh.
+
+Bridges the model layer to the sharded training chunks so the
+reference-shaped API runs multi-chip with one extra argument:
+
+    mesh = make_mesh()                      # (data, model) over devices
+    DeepWalk(G, ...).train(mesh=mesh)       # trains over the mesh
+
+Two modes (see parallel/sgns.py and parallel/rowshard.py for the
+designs and their exchange patterns):
+
+- 'rowshard' (default): ONE global table partitioned by vertex across
+  the data axis; exact synchronous updates. The right mode when the
+  table is large or exactness matters.
+- 'dp': per-replica tables, periodic averaging (hogwild analogue),
+  optional column-TP over the model axis.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from graphembedding_tpu.train.skipgram import (
+    SkipGramConfig,
+    _shuffle_walks,
+    corpus_counts,
+    negative_table,
+)
+
+
+class DistributedSkipGramTrainer:
+    """SkipGramTrainer equivalent running on a `jax.sharding.Mesh`."""
+
+    def __init__(self, mesh, config: SkipGramConfig | None = None,
+                 mode: str = "rowshard", **kw):
+        if mode not in ("rowshard", "dp"):
+            raise ValueError("mode must be 'rowshard' or 'dp'")
+        self.mesh = mesh
+        self.mode = mode
+        self.config = config or SkipGramConfig(**kw)
+
+    def fit(self, walks, num_nodes, key=None):
+        cfg = self.config
+        mesh = self.mesh
+        n = mesh.shape["data"]
+        if key is None:
+            key = jax.random.PRNGKey(cfg.seed)
+        k_init, k_shuf, k_train = jax.random.split(key, 3)
+
+        walks = jnp.asarray(walks)
+        NW, L = walks.shape
+        # cap at NW//4 so tiny corpora keep sequential blocks per
+        # epoch (see train.skipgram), but never below the data axis
+        bw = min(cfg.block_walks, max(NW // 4, n))
+        table = jnp.asarray(
+            negative_table(
+                corpus_counts(walks, num_nodes),
+                cfg.ns_exponent,
+                cfg.neg_table_size,
+            )
+        )
+        # steps per epoch from the per-device packing actually used
+        pk = max(min(max(128 // L, 1), max(bw // n, 1)), 1)
+        bw_used = max((max(bw // n, 1) // pk) * pk, pk) * n
+        steps_per_epoch = max(NW // bw_used, 1)
+        chunks_per_epoch = max(
+            (steps_per_epoch + cfg.chunk_steps - 1) // cfg.chunk_steps, 1
+        )
+        # LR decays over steps actually executed (each chunk runs
+        # chunk_steps steps, wrapping over blocks — see train.skipgram)
+        n_steps = cfg.epochs * chunks_per_epoch * cfg.chunk_steps
+        total_steps = jnp.float32(n_steps)
+
+        D = cfg.embed_size
+        w_in = (
+            jax.random.uniform(k_init, (num_nodes, D)) - 0.5
+        ) / D
+        w_out = jnp.zeros((num_nodes, D), jnp.float32)
+
+        if self.mode == "rowshard":
+            from graphembedding_tpu.parallel.rowshard import (
+                rowsharded_sgns_chunk,
+            )
+
+            Vp = ((num_nodes + n - 1) // n) * n
+            w_cat = jnp.zeros((Vp, 2 * D), jnp.float32)
+            w_cat = w_cat.at[:num_nodes, :D].set(w_in)
+            fn = rowsharded_sgns_chunk(
+                mesh, chunk_steps=cfg.chunk_steps, block_walks=bw,
+                window=cfg.window, negative=cfg.negative,
+                k_shared=min(cfg.k_shared, num_nodes),
+            )
+        else:
+            from graphembedding_tpu.parallel.sgns import (
+                sharded_sgns_chunk,
+            )
+
+            fn = sharded_sgns_chunk(
+                mesh, chunk_steps=cfg.chunk_steps, block_walks=bw,
+                window=cfg.window, negative=cfg.negative,
+                k_shared=min(cfg.k_shared, num_nodes),
+                neg_share_walks=cfg.neg_share_walks,
+            )
+
+        losses = []
+        t = 0
+        with mesh:
+            for epoch in range(cfg.epochs):
+                shuffled = _shuffle_walks(
+                    walks, jax.random.fold_in(k_shuf, epoch)
+                )
+                for _ in range(chunks_per_epoch):
+                    if self.mode == "rowshard":
+                        w_cat, l = fn(
+                            w_cat, shuffled, table, k_train,
+                            jnp.float32(cfg.alpha),
+                            jnp.float32(cfg.min_alpha),
+                            jnp.int32(t), total_steps,
+                        )
+                    else:
+                        w_in, w_out, l = fn(
+                            w_in, w_out, shuffled, table, k_train,
+                            jnp.float32(cfg.alpha),
+                            jnp.float32(cfg.min_alpha),
+                            jnp.int32(t), total_steps,
+                        )
+                    losses.append(l)
+                    t += cfg.chunk_steps
+        if self.mode == "rowshard":
+            w_cat = jax.device_get(w_cat)
+            w_in = jnp.asarray(w_cat[:num_nodes, :D])
+            w_out = jnp.asarray(w_cat[:num_nodes, D:])
+        return w_in, w_out, jnp.concatenate(losses)

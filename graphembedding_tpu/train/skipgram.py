@@ -363,16 +363,22 @@ class SkipGramTrainer:
         walks = jnp.asarray(walks)
         NW, L = walks.shape
         # round the block to a multiple of the packing factor P=128//L
-        # (see sgns_block_chunk) so every walk in a block trains
+        # (see sgns_block_chunk) so every walk in a block trains; cap
+        # at NW//4 so tiny corpora keep >=4 sequential blocks per
+        # epoch (a single whole-corpus block loses the sequential
+        # structure SGD needs — measured on 120-node graphs)
         P = max(min(max(128 // L, 1), NW), 1)
-        bw = min(cfg.block_walks, NW)
+        bw = min(cfg.block_walks, max(NW // 4, P))
         bw = max((bw // P) * P, P)
         n_blocks = max(NW // bw, 1)
         steps_per_epoch = n_blocks
-        n_steps = cfg.epochs * steps_per_epoch
         chunks_per_epoch = max(
             (steps_per_epoch + cfg.chunk_steps - 1) // cfg.chunk_steps, 1
         )
+        # LR decays over steps actually EXECUTED: every chunk runs
+        # chunk_steps steps (wrapping over blocks), so small corpora
+        # run many more steps than n_blocks per epoch
+        n_steps = cfg.epochs * chunks_per_epoch * cfg.chunk_steps
 
         table = jnp.asarray(
             negative_table(

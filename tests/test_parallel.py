@@ -214,3 +214,22 @@ def test_rowsharded_sgns_runs_and_learns():
               + (sims[10:, 10:].sum() - 10) / 90) / 2
     across = sims[:10, 10:].mean()
     assert within > across + 0.3
+
+
+def test_deepwalk_trains_over_mesh():
+    """Model API multi-chip path: DeepWalk(...).train(mesh=...) via
+    DistributedSkipGramTrainer (rowshard mode), end to end."""
+    from graphembedding_tpu.data.datasets import synthetic_wiki
+    from graphembedding_tpu.eval.classify import Classifier
+    from graphembedding_tpu.models import DeepWalk
+
+    ds = synthetic_wiki(num_nodes=120, num_classes=3, avg_degree=8,
+                        seed=5)
+    mesh = make_mesh((len(jax.devices()), 1))
+    m = DeepWalk(ds.graph, walk_length=10, num_walks=20, seed=0)
+    m.train(embed_size=32, window_size=5, iter=3, block_walks=64,
+            mesh=mesh)
+    res = Classifier(m.get_embeddings()).split_train_evaluate(
+        ds.X, ds.Y, 0.8
+    )
+    assert res["micro"] >= 0.7, res["micro"]
