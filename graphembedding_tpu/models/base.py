@@ -53,9 +53,25 @@ class WalkEmbeddingModel:
         neg_share_walks=8,
         mesh=None,  # jax.sharding.Mesh -> train over the mesh
         parallel_mode="rowshard",  # 'rowshard' | 'dp' (parallel/trainer)
+        hs=0,  # 1 -> hierarchical softmax (the reference's
+        # Word2Vec(hs=1) objective for DeepWalk/Struc2Vec; SGNS is the
+        # default performance path per SURVEY.md §9)
         **kwargs,
     ):
         del workers, kwargs
+        if hs:
+            from graphembedding_tpu.train.hsoftmax import HSTrainer
+
+            trainer = HSTrainer(
+                embed_size=embed_size, window=window_size, epochs=iter,
+                alpha=alpha, min_alpha=min_alpha, seed=self.seed,
+            )
+            self.w_in, self.w_out, self.losses = trainer.fit(
+                self.walks, self.graph.num_nodes,
+                jax.random.PRNGKey(self.seed + 1),
+            )
+            self._embeddings = None
+            return self
         cfg = SkipGramConfig(
             embed_size=embed_size,
             window=window_size,

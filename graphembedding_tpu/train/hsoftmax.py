@@ -245,12 +245,13 @@ class HSTrainer:
         walks = jnp.asarray(walks)
         NW, L = walks.shape
         P = max(min(max(128 // L, 1), NW), 1)
-        bw = max((min(self.block_walks, NW) // P) * P, P)
+        bw = max((min(self.block_walks, max(NW // 4, P)) // P) * P, P)
         n_blocks = max(NW // bw, 1)
-        n_steps = self.epochs * n_blocks
         chunks_per_epoch = max(
             (n_blocks + self.chunk_steps - 1) // self.chunk_steps, 1
         )
+        # LR decays over steps actually executed (see train.skipgram)
+        n_steps = self.epochs * chunks_per_epoch * self.chunk_steps
 
         k_init, k_shuf, k_train = jax.random.split(key, 3)
         w_in = (

@@ -63,3 +63,22 @@ def test_hs_loss_decreases():
     l = np.asarray(losses)
     assert np.isfinite(l).all()
     assert l[-8:].mean() < l[:8].mean()
+
+
+def test_deepwalk_hs_model_path():
+    """DeepWalk(...).train(hs=1) — the reference's Word2Vec(hs=1)
+    objective through the model API."""
+    import numpy as np
+
+    from graphembedding_tpu.data.datasets import synthetic_wiki
+    from graphembedding_tpu.eval.classify import Classifier
+    from graphembedding_tpu.models import DeepWalk
+
+    ds = synthetic_wiki(num_nodes=120, num_classes=3, avg_degree=8,
+                        p_in=0.85, seed=3)
+    m = DeepWalk(ds.graph, walk_length=10, num_walks=20, seed=0)
+    m.train(embed_size=32, window_size=5, iter=3, hs=1)
+    emb = m.get_embeddings()
+    assert np.isfinite(next(iter(emb.values()))).all()
+    res = Classifier(emb).split_train_evaluate(ds.X, ds.Y, 0.8)
+    assert res["micro"] > 0.6, res["micro"]
