@@ -108,17 +108,11 @@ class SDNE:
         self._embeddings: Dict | None = None
 
         V = self.graph.num_nodes
-        src, dst, w = self.graph.edges()
-        A = np.zeros((V, V), dtype=np.float32)
-        A[src, dst] = w
-        # A + A^T with duplicate summation — scipy-coo semantics of the
-        # reference's `_create_A_L [U]` (an edge present both ways sums)
-        A_sym = np.zeros((V, V), dtype=np.float32)
-        np.add.at(A_sym, (src, dst), w)
-        np.add.at(A_sym, (dst, src), w)
-        D = np.diag(A_sym.sum(axis=1))
-        self.A = jnp.asarray(A)
-        self.L = jnp.asarray((D - A_sym).astype(np.float32))
+        # dense [V, V] A and L are built LAZILY (properties below):
+        # train_sparse / sparse get_embeddings never touch them, which
+        # is the whole point of the sparse mode at large V
+        self._A = None
+        self._L = None
 
         sizes = [V] + self.hidden_size
         key = jax.random.PRNGKey(seed)
@@ -128,6 +122,32 @@ class SDNE:
             "dec": _init_mlp(k2, list(reversed(self.hidden_size)) + [V]),
         }
         self.losses = None
+
+    @property
+    def A(self):
+        """Dense [V, V] adjacency (reference `_create_A_L [U]`
+        semantics: `A[src, dst] = w`). Built on first use."""
+        if self._A is None:
+            V = self.graph.num_nodes
+            src, dst, w = self.graph.edges()
+            A = np.zeros((V, V), dtype=np.float32)
+            A[src, dst] = w
+            self._A = jnp.asarray(A)
+        return self._A
+
+    @property
+    def L(self):
+        """Dense Laplacian L = D − (A + Aᵀ) with duplicate-sum
+        (scipy-coo) semantics. Built on first use."""
+        if self._L is None:
+            V = self.graph.num_nodes
+            src, dst, w = self.graph.edges()
+            A_sym = np.zeros((V, V), dtype=np.float32)
+            np.add.at(A_sym, (src, dst), w)
+            np.add.at(A_sym, (dst, src), w)
+            D = np.diag(A_sym.sum(axis=1))
+            self._L = jnp.asarray((D - A_sym).astype(np.float32))
+        return self._L
 
     def train(self, batch_size=1024, epochs=1, initial_epoch=0, verbose=0,
               learning_rate=1e-3):
@@ -139,13 +159,16 @@ class SDNE:
         nu1, nu2 = jnp.float32(self.nu1), jnp.float32(self.nu2)
 
         grad_fn = jax.value_and_grad(sdne_loss, has_aux=True)
+        # materialize the lazy dense A/L OUTSIDE any jit trace (a
+        # first build inside jit would cache a tracer)
+        A, L = self.A, self.L
 
         if batch_size >= V:
             # full-batch: one [V,V] MXU matmul per step
             @jax.jit
             def epoch_full(params, opt_state):
                 (loss, aux), grads = grad_fn(
-                    params, self.A, self.L, alpha, beta, nu1, nu2
+                    params, A, L, alpha, beta, nu1, nu2
                 )
                 updates, opt_state = tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
@@ -308,9 +331,25 @@ class SDNE:
             "l_1st": float(l1st),
         }
 
+    def _encode_table(self):
+        """Encoder output for all nodes; sparse first layer when the
+        dense adjacency was never materialized (post-train_sparse)."""
+        if self._A is not None:
+            return encode(self.params, self.A)
+        from graphembedding_tpu.ops.spmm import adjacency_bcoo
+
+        A_bcoo = adjacency_bcoo(self.graph)
+        h = jax.nn.relu(
+            A_bcoo @ self.params["enc"][0]["w"]
+            + self.params["enc"][0]["b"]
+        )
+        for layer in self.params["enc"][1:]:
+            h = jax.nn.relu(h @ layer["w"] + layer["b"])
+        return h
+
     def get_embeddings(self) -> Dict:
         if self._embeddings is None:
-            y = np.asarray(encode(self.params, self.A))
+            y = np.asarray(self._encode_table())
             vocab = self.graph.vocab
             self._embeddings = {
                 vocab.idx2node[i]: y[i] for i in range(self.graph.num_nodes)
@@ -319,4 +358,4 @@ class SDNE:
 
     @property
     def embedding_table(self):
-        return encode(self.params, self.A)
+        return self._encode_table()

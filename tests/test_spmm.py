@@ -75,3 +75,24 @@ def test_sdne_sparse_trainer_matches_objective():
     assert float(m.losses[-1]) < float(m.losses[0])
     emb = m.get_embeddings()
     assert next(iter(emb.values())).shape == (8,)
+
+
+def test_sdne_sparse_never_materializes_dense():
+    """After train_sparse + get_embeddings, the dense [V, V] A/L must
+    never have been built (the sparse mode's memory contract)."""
+    ds = synthetic_wiki(num_nodes=60, num_classes=2, avg_degree=5,
+                        seed=7)
+    m = SDNE(ds.graph, hidden_size=[16, 8])
+    m.train_sparse(epochs=5, row_chunk=32)
+    emb = m.get_embeddings()
+    assert next(iter(emb.values())).shape == (8,)
+    assert m._A is None and m._L is None
+    # dense-path encode agrees with the sparse-layer encode
+    import jax.numpy as jnp
+    sparse_table = np.asarray(m.embedding_table)
+    dense_table = np.asarray(
+        __import__("graphembedding_tpu.models.sdne",
+                   fromlist=["encode"]).encode(m.params, m.A)
+    )
+    np.testing.assert_allclose(sparse_table, dense_table, rtol=1e-4,
+                               atol=1e-5)
