@@ -40,7 +40,10 @@ class DistributedSkipGramTrainer:
         self.mode = mode
         self.config = config or SkipGramConfig(**kw)
 
-    def fit(self, walks, num_nodes, key=None):
+    def fit(self, walks, num_nodes, key=None, checkpoint_dir=None,
+            checkpoint_every=0, metrics=None):
+        """Train over the mesh; supports the single-chip trainer's
+        checkpoint/resume and metrics hooks (SURVEY.md §6)."""
         cfg = self.config
         mesh = self.mesh
         n = mesh.shape["data"]
@@ -103,14 +106,35 @@ class DistributedSkipGramTrainer:
                 neg_share_walks=cfg.neg_share_walks,
             )
 
+        resume_step = 0
+        if checkpoint_dir:
+            from graphembedding_tpu.utils.checkpoint import load_state
+
+            try:
+                state = load_state(checkpoint_dir)
+                if self.mode == "rowshard":
+                    w_cat = jnp.asarray(state["w_cat"])
+                else:
+                    w_in = jnp.asarray(state["w_in"])
+                    w_out = jnp.asarray(state["w_out"])
+                resume_step = int(state["step"])
+            except Exception:
+                pass  # no checkpoint yet
+
+        import numpy as np
+
         losses = []
         t = 0
+        n_calls = 0
         with mesh:
             for epoch in range(cfg.epochs):
                 shuffled = _shuffle_walks(
                     walks, jax.random.fold_in(k_shuf, epoch)
                 )
                 for _ in range(chunks_per_epoch):
+                    if t < resume_step:
+                        t += cfg.chunk_steps
+                        continue
                     if self.mode == "rowshard":
                         w_cat, l = fn(
                             w_cat, shuffled, table, k_train,
@@ -127,6 +151,27 @@ class DistributedSkipGramTrainer:
                         )
                     losses.append(l)
                     t += cfg.chunk_steps
+                    n_calls += 1
+                    if metrics is not None:
+                        metrics.log(
+                            kind="sgns_chunk_dist", epoch=epoch, step=t,
+                            loss=round(float(l.mean()), 5),
+                        )
+                    if (checkpoint_dir and checkpoint_every
+                            and n_calls % checkpoint_every == 0):
+                        from graphembedding_tpu.utils.checkpoint import (
+                            save_state,
+                        )
+
+                        state = {"step": np.asarray(t)}
+                        if self.mode == "rowshard":
+                            state["w_cat"] = np.asarray(w_cat)
+                        else:
+                            state["w_in"] = np.asarray(w_in)
+                            state["w_out"] = np.asarray(w_out)
+                        save_state(checkpoint_dir, state)
+        if not losses:
+            losses = [jnp.zeros((0,), jnp.float32)]
         if self.mode == "rowshard":
             w_cat = jax.device_get(w_cat)
             w_in = jnp.asarray(w_cat[:num_nodes, :D])

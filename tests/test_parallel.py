@@ -233,3 +233,27 @@ def test_deepwalk_trains_over_mesh():
         ds.X, ds.Y, 0.8
     )
     assert res["micro"] >= 0.7, res["micro"]
+
+
+def test_distributed_trainer_checkpoint_resume(tmp_path):
+    from graphembedding_tpu.parallel.trainer import (
+        DistributedSkipGramTrainer,
+    )
+    from graphembedding_tpu.train.skipgram import SkipGramConfig
+
+    rng = np.random.default_rng(0)
+    walks = rng.integers(0, 30, (128, 8)).astype(np.int32)
+    mesh = make_mesh((len(jax.devices()), 1))
+    cfg = SkipGramConfig(embed_size=8, epochs=2, chunk_steps=4,
+                         block_walks=32)
+    tr = DistributedSkipGramTrainer(mesh, cfg)
+    ck = str(tmp_path / "ck")
+    w_in, w_out, losses = tr.fit(walks, 30, jax.random.PRNGKey(0),
+                                 checkpoint_dir=ck, checkpoint_every=1)
+    assert np.isfinite(np.asarray(w_in)).all()
+    # resume: the saved step should skip all chunks => empty losses
+    w_in2, w_out2, losses2 = tr.fit(walks, 30, jax.random.PRNGKey(0),
+                                    checkpoint_dir=ck)
+    assert losses2.shape[0] == 0
+    np.testing.assert_allclose(np.asarray(w_in2), np.asarray(w_in),
+                               rtol=1e-6)
