@@ -108,26 +108,40 @@ class DistributedSkipGramTrainer:
 
         resume_step = 0
         if checkpoint_dir:
-            from graphembedding_tpu.utils.checkpoint import load_state
+            # host-gathered checkpointing: correct single-process (any
+            # local device count); a multi-host run would need
+            # Orbax global-array checkpointing of the sharded table
+            if jax.process_count() > 1:
+                raise NotImplementedError(
+                    "distributed-trainer checkpointing is "
+                    "single-process only (table is host-gathered)"
+                )
+            from graphembedding_tpu.utils.checkpoint import try_restore
 
-            try:
-                state = load_state(checkpoint_dir)
+            keys = (
+                ("w_cat",) if self.mode == "rowshard"
+                else ("w_in", "w_out")
+            )
+            state = try_restore(checkpoint_dir, keys + ("step",))
+            if state is not None:
                 if self.mode == "rowshard":
                     w_cat = jnp.asarray(state["w_cat"])
                 else:
                     w_in = jnp.asarray(state["w_in"])
                     w_out = jnp.asarray(state["w_out"])
                 resume_step = int(state["step"])
-            except Exception:
-                pass  # no checkpoint yet
 
         import numpy as np
 
         losses = []
         t = 0
         n_calls = 0
+        epoch_steps = chunks_per_epoch * cfg.chunk_steps
         with mesh:
             for epoch in range(cfg.epochs):
+                if t + epoch_steps <= resume_step:
+                    t += epoch_steps  # fully-resumed epoch: skip the
+                    continue  # corpus shuffle too
                 shuffled = _shuffle_walks(
                     walks, jax.random.fold_in(k_shuf, epoch)
                 )
@@ -157,19 +171,22 @@ class DistributedSkipGramTrainer:
                             kind="sgns_chunk_dist", epoch=epoch, step=t,
                             loss=round(float(l.mean()), 5),
                         )
-                    if (checkpoint_dir and checkpoint_every
-                            and n_calls % checkpoint_every == 0):
+                    if checkpoint_dir and checkpoint_every:
                         from graphembedding_tpu.utils.checkpoint import (
-                            save_state,
+                            maybe_save,
                         )
 
-                        state = {"step": np.asarray(t)}
-                        if self.mode == "rowshard":
-                            state["w_cat"] = np.asarray(w_cat)
-                        else:
-                            state["w_in"] = np.asarray(w_in)
-                            state["w_out"] = np.asarray(w_out)
-                        save_state(checkpoint_dir, state)
+                        def _state():
+                            s = {"step": np.asarray(t)}
+                            if self.mode == "rowshard":
+                                s["w_cat"] = np.asarray(w_cat)
+                            else:
+                                s["w_in"] = np.asarray(w_in)
+                                s["w_out"] = np.asarray(w_out)
+                            return s
+
+                        maybe_save(checkpoint_dir, checkpoint_every,
+                                   n_calls, _state)
         if not losses:
             losses = [jnp.zeros((0,), jnp.float32)]
         if self.mode == "rowshard":

@@ -350,15 +350,15 @@ class SkipGramTrainer:
 
         resume_step = 0
         if checkpoint_dir:
-            from graphembedding_tpu.utils.checkpoint import load_state
+            from graphembedding_tpu.utils.checkpoint import try_restore
 
-            try:
-                state = load_state(checkpoint_dir)
+            state = try_restore(
+                checkpoint_dir, ("w_in", "w_out", "step")
+            )
+            if state is not None:
                 w_in = jnp.asarray(state["w_in"])
                 w_out = jnp.asarray(state["w_out"])
                 resume_step = int(state["step"])
-            except Exception:
-                pass  # no checkpoint yet
 
         walks = jnp.asarray(walks)
         NW, L = walks.shape
@@ -392,7 +392,11 @@ class SkipGramTrainer:
         t = 0
         n_chunk_calls = 0
         total_steps = jnp.float32(n_steps)
+        epoch_steps = chunks_per_epoch * cfg.chunk_steps
         for epoch in range(cfg.epochs):
+            if t + epoch_steps <= resume_step:
+                t += epoch_steps  # fully-resumed epoch: skip its
+                continue  # corpus shuffle too
             shuffled = _shuffle_walks(
                 walks, jax.random.fold_in(k_shuf, epoch)
             )
@@ -426,18 +430,14 @@ class SkipGramTrainer:
                         kind="sgns_chunk", epoch=epoch, step=t,
                         loss=round(float(l.mean()), 5),
                     )
-                if (
-                    checkpoint_dir
-                    and checkpoint_every
-                    and n_chunk_calls % checkpoint_every == 0
-                ):
+                if checkpoint_dir and checkpoint_every:
                     from graphembedding_tpu.utils.checkpoint import (
-                        save_state,
+                        maybe_save,
                     )
 
-                    save_state(
-                        checkpoint_dir,
-                        {
+                    maybe_save(
+                        checkpoint_dir, checkpoint_every, n_chunk_calls,
+                        lambda: {
                             "w_in": np.asarray(w_in),
                             "w_out": np.asarray(w_out),
                             "step": np.asarray(t),

@@ -45,6 +45,35 @@ def load_state(path: str, template: Optional[Any] = None) -> Any:
     return ckptr.restore(path)
 
 
+def try_restore(path: str, expected_keys) -> Optional[Any]:
+    """Restore a checkpoint if one exists; validate its schema.
+
+    Returns None when no checkpoint is present. Raises ValueError when
+    a checkpoint exists but lacks `expected_keys` (e.g. resuming a
+    'rowshard' run from a 'dp'-mode checkpoint) — a silent restart
+    from step 0 would retrain everything AND overwrite the old state.
+    """
+    if not os.path.exists(os.path.abspath(path)):
+        return None
+    state = load_state(path)
+    missing = [k for k in expected_keys if k not in state]
+    if missing:
+        raise ValueError(
+            f"checkpoint at {path!r} lacks keys {missing} "
+            f"(has {sorted(state)}); it was written by a different "
+            "trainer/mode — refusing to silently restart from step 0"
+        )
+    return state
+
+
+def maybe_save(path: str, every: int, n_calls: int, state_fn) -> bool:
+    """Save `state_fn()` when the cadence hits; shared by trainers."""
+    if not (path and every and n_calls % every == 0):
+        return False
+    save_state(path, state_fn())
+    return True
+
+
 def content_key(*arrays, extra: str = "") -> str:
     """Stable hash key for preprocessing artifacts."""
     h = hashlib.sha1()

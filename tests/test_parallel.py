@@ -235,7 +235,8 @@ def test_deepwalk_trains_over_mesh():
     assert res["micro"] >= 0.7, res["micro"]
 
 
-def test_distributed_trainer_checkpoint_resume(tmp_path):
+@pytest.mark.parametrize("mode", ["rowshard", "dp"])
+def test_distributed_trainer_checkpoint_resume(tmp_path, mode):
     from graphembedding_tpu.parallel.trainer import (
         DistributedSkipGramTrainer,
     )
@@ -246,14 +247,62 @@ def test_distributed_trainer_checkpoint_resume(tmp_path):
     mesh = make_mesh((len(jax.devices()), 1))
     cfg = SkipGramConfig(embed_size=8, epochs=2, chunk_steps=4,
                          block_walks=32)
-    tr = DistributedSkipGramTrainer(mesh, cfg)
+    tr = DistributedSkipGramTrainer(mesh, cfg, mode=mode)
     ck = str(tmp_path / "ck")
     w_in, w_out, losses = tr.fit(walks, 30, jax.random.PRNGKey(0),
                                  checkpoint_dir=ck, checkpoint_every=1)
     assert np.isfinite(np.asarray(w_in)).all()
+    n_chunks = losses.shape[0] // cfg.chunk_steps
     # resume: the saved step should skip all chunks => empty losses
     w_in2, w_out2, losses2 = tr.fit(walks, 30, jax.random.PRNGKey(0),
                                     checkpoint_dir=ck)
     assert losses2.shape[0] == 0
     np.testing.assert_allclose(np.asarray(w_in2), np.asarray(w_in),
                                rtol=1e-6)
+    # MID-RUN resume: simulate a crash after the second chunk trains
+    # but before it checkpoints (only chunk 1's state is on disk); the
+    # resumed fit must retrain from chunk 2 and reproduce the
+    # uninterrupted run bit-for-bit (chunk RNG is keyed by t0)
+    class _Crash(Exception):
+        pass
+
+    class _CrashAfter:
+        def __init__(self, at_step):
+            self.at_step = at_step
+
+        def log(self, **kw):
+            if kw["step"] > self.at_step:
+                raise _Crash()
+
+    tr2 = DistributedSkipGramTrainer(mesh, cfg, mode=mode)
+    ck2 = str(tmp_path / "ck2")
+    with pytest.raises(_Crash):
+        tr2.fit(walks, 30, jax.random.PRNGKey(0), checkpoint_dir=ck2,
+                checkpoint_every=1,
+                metrics=_CrashAfter(cfg.chunk_steps))
+    w_res, _, l_res = tr2.fit(walks, 30, jax.random.PRNGKey(0),
+                              checkpoint_dir=ck2)
+    assert l_res.shape[0] == losses.shape[0] - cfg.chunk_steps
+    np.testing.assert_allclose(np.asarray(w_res), np.asarray(w_in),
+                               rtol=1e-6)
+
+
+def test_distributed_trainer_rejects_foreign_checkpoint(tmp_path):
+    from graphembedding_tpu.parallel.trainer import (
+        DistributedSkipGramTrainer,
+    )
+    from graphembedding_tpu.train.skipgram import SkipGramConfig
+    from graphembedding_tpu.utils.checkpoint import save_state
+
+    ck = str(tmp_path / "ck")
+    save_state(ck, {"w_in": np.zeros((4, 4), np.float32),
+                    "w_out": np.zeros((4, 4), np.float32),
+                    "step": np.asarray(4)})
+    rng = np.random.default_rng(0)
+    walks = rng.integers(0, 30, (64, 8)).astype(np.int32)
+    mesh = make_mesh((len(jax.devices()), 1))
+    cfg = SkipGramConfig(embed_size=8, epochs=1, chunk_steps=4,
+                         block_walks=32)
+    tr = DistributedSkipGramTrainer(mesh, cfg, mode="rowshard")
+    with pytest.raises(ValueError, match="lacks keys"):
+        tr.fit(walks, 30, jax.random.PRNGKey(0), checkpoint_dir=ck)
