@@ -221,7 +221,7 @@ class HSTrainer:
     """Hierarchical-softmax skip-gram fit (reference hs=1 semantics)."""
 
     def __init__(self, embed_size=128, window=5, epochs=5,
-                 block_walks=256, alpha=0.025, min_alpha=1e-4,
+                 block_walks=504, alpha=0.025, min_alpha=1e-4,
                  chunk_steps=64, seed=0):
         self.embed_size = embed_size
         self.window = window
