@@ -32,3 +32,22 @@ def test_example_help_runs(script):
     assert out.returncode == 0, out.stderr[-2000:]
     assert "--dataset" in out.stdout
     assert "--plot" in out.stdout
+
+
+def test_plot_embeddings_writes_png(tmp_path):
+    """The t-SNE plot helper (reference `plot_embeddings [U]` parity)."""
+    import numpy as np
+
+    sys.path.insert(0, EX_DIR)
+    try:
+        from common import plot_embeddings
+    finally:
+        sys.path.remove(EX_DIR)
+    from graphembedding_tpu.data.datasets import synthetic_wiki
+
+    ds = synthetic_wiki(num_nodes=40, num_classes=3, seed=1)
+    rng = np.random.default_rng(0)
+    emb = {x: rng.standard_normal(8).astype(np.float32) for x in ds.X}
+    out = tmp_path / "plot.png"
+    plot_embeddings(emb, ds, str(out))
+    assert out.exists() and out.stat().st_size > 1000
