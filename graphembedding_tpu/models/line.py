@@ -218,13 +218,15 @@ class LINE:
 
     def train(self, batch_size=1024, epochs=1, initial_lr=0.025,
               verbose=0, times=1):
-        del verbose, times
+        del verbose
         g = self.graph
-        # reference steps/epoch: ceil(E*(1+neg_ratio)/batch); our fused
-        # step covers 1 positive + K negatives at once, so E/batch steps
-        # per epoch visits the same number of samples.
+        # reference steps/epoch: ceil(E*times*(1+neg_ratio)/batch) —
+        # `times` multiplies per-epoch samples (`reset_training_config
+        # [U]`); our fused step covers 1 positive + K negatives at
+        # once, so E*times/batch steps per epoch visits the same
+        # number of samples.
         n_steps = max(
-            int(round(epochs * g.num_edges / batch_size)), 1
+            int(round(epochs * times * g.num_edges / batch_size)), 1
         )
         key = jax.random.PRNGKey(self.seed + 1)
         if self.order in ("first", "all"):
