@@ -1,9 +1,11 @@
 """Hierarchical-softmax skip-gram (the reference's hs=1 trainer).
 
 Reference counterpart: gensim `Word2Vec(hs=1)` as used by the reference's
-DeepWalk and Struc2Vec (`sg=1, hs=1`, SURVEY.md §9). SGNS is this
-framework's primary trainer (faster, the BASELINE north-star kernel);
-this module provides the exact-objective fallback for parity studies:
+DeepWalk and Struc2Vec (`sg=1, hs=1`, SURVEY.md §9). SGNS remains the
+throughput path (the BASELINE north-star kernel) and DeepWalk's default;
+this trainer is **Struc2Vec's default** (structural-role embeddings
+measure 0.96-1.00 micro-F1 under hs vs ~0.70 under SGNS on
+flight-brazil) and the exact-objective option everywhere:
 
     loss(center c, context m) = Σ_{t in path(m)}
         -log σ( (1 - code_t) ? ⟨u_c, w_t⟩ : -⟨u_c, w_t⟩ )
