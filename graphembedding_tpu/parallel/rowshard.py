@@ -107,6 +107,7 @@ def rowsharded_sgns_chunk(
     window,
     negative,
     k_shared,
+    update_cap=8.0,
 ):
     """Build the jitted row-sharded chunk fn over `mesh`'s data axis.
 
@@ -213,7 +214,7 @@ def rowsharded_sgns_chunk(
             # token and negative events pushed separately because each
             # carries its own cap statistic (same as train.skipgram's
             # tbuf/nbuf split)
-            cap = jnp.float32(8.0)
+            cap = jnp.float32(update_cap)
             g_tok = jnp.concatenate(
                 [
                     d_yin.reshape(-1, D),

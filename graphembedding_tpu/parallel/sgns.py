@@ -43,6 +43,7 @@ def sharded_sgns_chunk(
     k_shared,
     neg_share_walks=8,
     sync_every=None,
+    update_cap=8.0,
 ):
     """Build the jitted sharded chunk fn for a given mesh.
 
@@ -155,7 +156,7 @@ def sharded_sgns_chunk(
                               preferred_element_type=jnp.float32)
 
             # per-row accumulation cap — see train.skipgram
-            cap = jnp.float32(8.0)
+            cap = jnp.float32(update_cap)
             flat = tok_safe.reshape(-1)
             d_tok = jnp.concatenate(
                 [

@@ -93,6 +93,7 @@ class DistributedSkipGramTrainer:
                 mesh, chunk_steps=cfg.chunk_steps, block_walks=bw,
                 window=cfg.window, negative=cfg.negative,
                 k_shared=min(cfg.k_shared, num_nodes),
+                update_cap=cfg.update_cap,
             )
         else:
             from graphembedding_tpu.parallel.sgns import (
@@ -104,6 +105,7 @@ class DistributedSkipGramTrainer:
                 window=cfg.window, negative=cfg.negative,
                 k_shared=min(cfg.k_shared, num_nodes),
                 neg_share_walks=cfg.neg_share_walks,
+                update_cap=cfg.update_cap,
             )
 
         resume_step = 0

@@ -82,7 +82,8 @@ def build_huffman(counts: np.ndarray):
 
 @partial(
     jax.jit,
-    static_argnames=("chunk_steps", "block_walks", "window"),
+    static_argnames=("chunk_steps", "block_walks", "window",
+                     "update_cap"),
     donate_argnums=(0, 1),
 )
 def hs_block_chunk(
@@ -100,6 +101,7 @@ def hs_block_chunk(
     chunk_steps,
     block_walks,
     window,
+    update_cap=8.0,
 ):
     """`chunk_steps` hierarchical-softmax steps over walk blocks."""
     S, Bw, W = chunk_steps, block_walks, window
@@ -179,7 +181,7 @@ def hs_block_chunk(
         # per-row accumulation cap, with occupancy counts riding the
         # gradient scatter as an extra column (one scatter round instead
         # of scatter+gather per table — see train.skipgram)
-        cap = jnp.float32(8.0)
+        cap = jnp.float32(update_cap)
         flat = tok_safe.reshape(-1)
         d_tok = jnp.concatenate(
             [d_yin.reshape(-1, D), jnp.ones((G * PL, 1), jnp.float32)],
@@ -224,7 +226,7 @@ class HSTrainer:
 
     def __init__(self, embed_size=128, window=5, epochs=5,
                  block_walks=504, alpha=0.025, min_alpha=1e-4,
-                 chunk_steps=64, seed=0):
+                 chunk_steps=64, update_cap=8.0, seed=0):
         self.embed_size = embed_size
         self.window = window
         self.epochs = epochs
@@ -232,6 +234,7 @@ class HSTrainer:
         self.alpha = alpha
         self.min_alpha = min_alpha
         self.chunk_steps = chunk_steps
+        self.update_cap = update_cap
         self.seed = seed
 
     def fit(self, walks, num_nodes, key=None):
@@ -277,7 +280,7 @@ class HSTrainer:
                     jnp.float32(self.alpha), jnp.float32(self.min_alpha),
                     jnp.int32(t), jnp.float32(n_steps),
                     chunk_steps=self.chunk_steps, block_walks=bw,
-                    window=self.window,
+                    window=self.window, update_cap=self.update_cap,
                 )
                 losses.append(l)
                 t += self.chunk_steps

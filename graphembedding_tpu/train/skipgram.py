@@ -70,6 +70,8 @@ class SkipGramConfig:
     ns_exponent: float = 0.75
     neg_table_size: int = 1 << 20
     chunk_steps: int = 64  # scan steps per compiled chunk
+    update_cap: float = 8.0  # per-row accumulation cap (sequential-
+    # update magnitudes a row may move per step; see the step fn)
     use_pallas: bool = False  # fused Pallas compute kernel (see
     # ops.pallas_sgns) vs plain XLA einsums for the block gradients
     seed: int = 0
@@ -129,6 +131,7 @@ def negative_table(
         "k_shared",
         "neg_share_walks",
         "use_pallas",
+        "update_cap",
     ),
     donate_argnums=(0, 1),
 )
@@ -150,6 +153,7 @@ def sgns_block_chunk(
     k_shared,
     neg_share_walks,
     use_pallas=False,
+    update_cap=8.0,
 ):
     """`chunk_steps` SGNS steps over consecutive walk blocks (one scan).
 
@@ -270,7 +274,7 @@ def sgns_block_chunk(
         # sequential-update magnitudes per step, matching hogwild's
         # effective staleness (~thread count) while keeping full-rate
         # learning for the typical R ≤ cap row.
-        cap = jnp.float32(8.0)
+        cap = jnp.float32(update_cap)
         flat = tok_safe.reshape(-1)
         # token-gradient buffer: [.., :2D] grads, [.., 2D] occupancy
         d_tok = jnp.concatenate(
@@ -421,6 +425,7 @@ class SkipGramTrainer:
                     k_shared=min(cfg.k_shared, num_nodes),
                     neg_share_walks=cfg.neg_share_walks,
                     use_pallas=cfg.use_pallas,
+                    update_cap=cfg.update_cap,
                 )
                 losses.append(l)
                 t += cfg.chunk_steps
