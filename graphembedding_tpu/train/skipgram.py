@@ -37,8 +37,10 @@ row sees under the reference's sequential/hogwild updates.
 unigram^0.75 negative distribution, linear LR decay alpha -> min_alpha,
 both tables trained, per-epoch corpus shuffle, `min_count=0` implicit
 (node ids are the vocabulary). hogwild is replaced by batched
-deterministic SGD; hs=1 (reference DeepWalk/Struc2Vec) is replaced by
-negative sampling per the SURVEY.md §9 decision, validated by micro-F1.
+deterministic SGD. The SURVEY.md §9 hs-vs-SGNS question was settled
+empirically: SGNS holds F1 parity for the homophily models (DeepWalk
+0.96 vs 0.97 on wiki) and is their default; Struc2Vec's structural
+embeddings need the exact softmax (hs=1 default, train/hsoftmax.py).
 """
 
 from __future__ import annotations
