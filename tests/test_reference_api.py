@@ -71,3 +71,42 @@ def test_models_accept_reference_kwargs():
     m.train(embed_size=8, window_size=2, workers=4, iter=1,
             block_walks=16, k_shared=4)
     assert len(m.get_embeddings()) == 30
+
+
+def test_full_reference_migration_path():
+    """The exact code a reference user writes (SURVEY.md §1 snippet):
+    nx.read_edgelist -> Model(G) -> train -> get_embeddings -> Classifier."""
+    import os
+    import tempfile
+
+    import networkx as nx
+
+    from graphembedding_tpu.eval.classify import (
+        Classifier,
+        read_node_label,
+    )
+
+    rng = np.random.default_rng(4)
+    with tempfile.TemporaryDirectory() as d:
+        epath = os.path.join(d, "edges.txt")
+        lpath = os.path.join(d, "labels.txt")
+        with open(epath, "w") as f:
+            for _ in range(400):
+                a, b = rng.integers(0, 60, 2)
+                if a != b:
+                    f.write(f"{a} {b} 1\n")
+        with open(lpath, "w") as f:
+            for v in range(60):
+                f.write(f"{v} {v % 3}\n")
+
+        G = nx.read_edgelist(epath, create_using=nx.DiGraph(),
+                             nodetype=None, data=[("weight", int)])
+        model = ge.DeepWalk(G, walk_length=6, num_walks=4, workers=1)
+        model.train(embed_size=16, window_size=3, iter=1)
+        embeddings = model.get_embeddings()
+        assert set(embeddings) == set(G.nodes())
+        X, Y = read_node_label(lpath)
+        X = [x for x in X if x in embeddings]
+        Y = [y for x, y in zip(*read_node_label(lpath)) if x in embeddings]
+        res = Classifier(embeddings).split_train_evaluate(X, Y, 0.5)
+        assert "micro" in res and 0.0 <= res["micro"] <= 1.0
