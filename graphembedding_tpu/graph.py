@@ -103,8 +103,15 @@ class Graph:
             weight = np.ones(src.shape[0], dtype=np.float32)
         weight = np.asarray(weight, dtype=np.float32)
         if not directed:
-            src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
-            weight = np.concatenate([weight, weight])
+            # add each edge's reverse, but not for self-loops (a loop
+            # (u, u) must appear ONCE in row u, or degrees/walk
+            # probabilities/edge sampling all double-count it)
+            m = src != dst
+            src, dst = (
+                np.concatenate([src, dst[m]]),
+                np.concatenate([dst, src[m]]),
+            )
+            weight = np.concatenate([weight, weight[m]])
 
         if num_nodes is None:
             num_nodes = int(max(src.max(initial=-1), dst.max(initial=-1)) + 1)

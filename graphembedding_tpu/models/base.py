@@ -60,6 +60,11 @@ class WalkEmbeddingModel:
     ):
         del workers, kwargs
         if hs:
+            if mesh is not None:
+                raise NotImplementedError(
+                    "hs=1 has no distributed trainer yet; pass hs=0 "
+                    "to train over a mesh, or drop mesh="
+                )
             from graphembedding_tpu.train.hsoftmax import HSTrainer
 
             trainer = HSTrainer(

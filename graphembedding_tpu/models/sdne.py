@@ -137,14 +137,19 @@ class SDNE:
 
     @property
     def L(self):
-        """Dense Laplacian L = D − (A + Aᵀ) with duplicate-sum
-        (scipy-coo) semantics. Built on first use."""
+        """Dense Laplacian L = D − A_sym with duplicate-sum (scipy-coo)
+        semantics. Built on first use. For graphs constructed
+        undirected, edges() already lists both directions — adding the
+        transpose again would double every weight (and diverge from
+        the reference's `_create_A_L [U]`, which symmetrizes a
+        single-direction listing)."""
         if self._L is None:
             V = self.graph.num_nodes
             src, dst, w = self.graph.edges()
             A_sym = np.zeros((V, V), dtype=np.float32)
             np.add.at(A_sym, (src, dst), w)
-            np.add.at(A_sym, (dst, src), w)
+            if self.graph.directed:
+                np.add.at(A_sym, (dst, src), w)
             D = np.diag(A_sym.sum(axis=1))
             self._L = jnp.asarray((D - A_sym).astype(np.float32))
         return self._L
@@ -183,7 +188,6 @@ class SDNE:
             self.losses = jnp.stack(losses)
         else:
             steps = (V + batch_size - 1) // batch_size
-            A, L = self.A, self.L
 
             @partial(jax.jit, donate_argnums=(0, 1))
             def epoch_mini(params, opt_state, key):

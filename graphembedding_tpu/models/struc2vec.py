@@ -110,10 +110,37 @@ def _dtw(seq_a, seq_b, opt1=True):
     return float(D[n, m])
 
 
+def _depth_bound(row_ptr, col_idx, V):
+    """Upper bound on BFS ring depth: max over components of
+    2*ecc(seed)+1 (>= that component's diameter+1). O(V+E)."""
+    seen = np.zeros(V, dtype=bool)
+    bound = 1
+    for s in range(V):
+        if seen[s]:
+            continue
+        seen[s] = True
+        frontier = [s]
+        depth = 0
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for w in col_idx[row_ptr[u]:row_ptr[u + 1]]:
+                    w = int(w)
+                    if not seen[w]:
+                        seen[w] = True
+                        nxt.append(w)
+            if nxt:
+                depth += 1
+            frontier = nxt
+        bound = max(bound, 2 * depth + 1)
+    return bound
+
+
 def _similar_degree_candidates(degree, num_nodes):
     """opt2: each node is compared to ~2 log n nodes of closest degree."""
     order = np.argsort(degree, kind="stable")
-    k = max(int(2 * math.log(max(num_nodes, 2))), 2)
+    # reference `get_vertices [U]` uses log BASE 2 (2*math.log(n, 2))
+    k = max(int(2 * math.log2(max(num_nodes, 2))), 2)
     cands = {}
     pos_of = np.empty(num_nodes, dtype=np.int64)
     pos_of[order] = np.arange(num_nodes)
@@ -156,7 +183,10 @@ def build_context_graph(graph, max_layers=None, opt1=True, opt2=True,
     )
 
     if max_layers is None:
-        max_layers = V  # BFS terminates at the true eccentricity anyway
+        # the distance buffers are [n_pairs, max_layers]: cap by a
+        # BFS-depth bound (2*ecc(seed)+1 >= diameter per component)
+        # instead of V, which allocated O(n_pairs * V) at scale
+        max_layers = _depth_bound(row_ptr, col_idx, V)
 
     if opt2:
         cands = _similar_degree_candidates(deg, V)

@@ -28,10 +28,11 @@ def adjacency_bcoo(graph, sym: bool = False):
     from jax.experimental import sparse as jsparse
 
     src, dst, w = graph.edges()
-    if sym:
+    if sym and graph.directed:
         # A + A^T with duplicate-entry summation (BCOO matmul sums
         # duplicate indices, matching scipy's coo semantics in the
-        # reference's `_create_A_L`)
+        # reference's `_create_A_L`); undirected graphs already list
+        # both directions
         src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
         w = np.concatenate([w, w])
     idx = np.stack([src, dst], axis=1).astype(np.int32)
@@ -65,11 +66,18 @@ def laplacian_quadratic(src, dst, w, deg_w, Y):
 
 def sym_edges(graph):
     """(src, dst, w, deg_w) of the symmetrized adjacency, as in the
-    reference's `_create_A_L` (A_ = A + A^T with duplicate sum)."""
+    reference's `_create_A_L` (A_ = A + A^T with duplicate sum).
+    Undirected graphs already list both directions in edges() — adding
+    the transpose again would double every weight."""
     src, dst, w = graph.edges()
-    src2 = np.concatenate([src, dst]).astype(np.int32)
-    dst2 = np.concatenate([dst, src]).astype(np.int32)
-    w2 = np.concatenate([w, w]).astype(np.float32)
+    if graph.directed:
+        src2 = np.concatenate([src, dst]).astype(np.int32)
+        dst2 = np.concatenate([dst, src]).astype(np.int32)
+        w2 = np.concatenate([w, w]).astype(np.float32)
+    else:
+        src2 = src.astype(np.int32)
+        dst2 = dst.astype(np.int32)
+        w2 = w.astype(np.float32)
     deg_w = np.zeros(graph.num_nodes, np.float32)
     np.add.at(deg_w, src2, w2)
     return (

@@ -71,3 +71,13 @@ def test_vocab_roundtrip():
     assert v["y"] == 1
     assert v.names([2, 0]) == ["z", "x"]
     assert len(v) == 3
+
+
+def test_undirected_self_loop_not_duplicated():
+    """A self-loop (u, u) in an undirected graph must appear ONCE in
+    row u (code-review regression: reversed-edge concat doubled it)."""
+    g = Graph(np.array([0, 1]), np.array([0, 2]), directed=False)
+    assert g.degree[0] == 1  # just the loop
+    np.testing.assert_array_equal(np.sort(g.neighbors(1)), [2])
+    np.testing.assert_array_equal(g.neighbors(0), [0])
+    assert g.num_edges == 3  # loop once + (1,2) both ways

@@ -96,3 +96,20 @@ def test_sdne_sparse_never_materializes_dense():
     )
     np.testing.assert_allclose(sparse_table, dense_table, rtol=1e-4,
                                atol=1e-5)
+
+
+def test_sym_edges_no_double_count_for_undirected():
+    """Undirected graphs already list both directions; symmetrization
+    must not double weights (code-review regression)."""
+    from graphembedding_tpu.graph import Graph
+
+    g = Graph(np.array([0, 1]), np.array([1, 2]), directed=False)
+    src, dst, w, deg_w = sym_edges(g)
+    A = np.zeros((3, 3))
+    np.add.at(A, (np.asarray(src), np.asarray(dst)), np.asarray(w))
+    np.testing.assert_array_equal(A, [[0, 1, 0], [1, 0, 1], [0, 1, 0]])
+    np.testing.assert_array_equal(np.asarray(deg_w), [1, 2, 1])
+    # SDNE dense L agrees
+    m = SDNE(g, hidden_size=[4, 2])
+    L = np.asarray(m.L)
+    np.testing.assert_array_equal(L, np.diag([1, 2, 1]) - A)
