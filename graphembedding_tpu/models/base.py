@@ -51,6 +51,8 @@ class WalkEmbeddingModel:
         block_walks=None,  # None -> SkipGramConfig default
         k_shared=64,
         neg_share_walks=8,
+        sample=1e-3,  # frequent-node subsampling threshold (gensim's
+        # Word2Vec default, which the reference never overrides); 0 off
         mesh=None,  # jax.sharding.Mesh -> train over the mesh
         parallel_mode="rowshard",  # 'rowshard' | 'dp' (parallel/trainer)
         hs=0,  # 1 -> hierarchical softmax (the reference's
@@ -69,7 +71,8 @@ class WalkEmbeddingModel:
 
             trainer = HSTrainer(
                 embed_size=embed_size, window=window_size, epochs=iter,
-                alpha=alpha, min_alpha=min_alpha, seed=self.seed,
+                alpha=alpha, min_alpha=min_alpha, sample=sample,
+                seed=self.seed,
             )
             self.w_in, self.w_out, self.losses = trainer.fit(
                 self.walks, self.graph.num_nodes,
@@ -88,6 +91,7 @@ class WalkEmbeddingModel:
             neg_share_walks=neg_share_walks,
             alpha=alpha,
             min_alpha=min_alpha,
+            sample=sample,
             seed=self.seed,
         )
         if mesh is not None:

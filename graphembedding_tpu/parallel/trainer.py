@@ -49,20 +49,24 @@ class DistributedSkipGramTrainer:
         n = mesh.shape["data"]
         if key is None:
             key = jax.random.PRNGKey(cfg.seed)
-        k_init, k_shuf, k_train = jax.random.split(key, 3)
+        k_init, k_shuf, k_train, k_sub = jax.random.split(key, 4)
 
         walks = jnp.asarray(walks)
         NW, L = walks.shape
         # cap at NW//4 so tiny corpora keep sequential blocks per
         # epoch (see train.skipgram), but never below the data axis
         bw = min(cfg.block_walks, max(NW // 4, n))
+        counts = corpus_counts(walks, num_nodes)
         table = jnp.asarray(
-            negative_table(
-                corpus_counts(walks, num_nodes),
-                cfg.ns_exponent,
-                cfg.neg_table_size,
-            )
+            negative_table(counts, cfg.ns_exponent, cfg.neg_table_size)
         )
+        from graphembedding_tpu.train.skipgram import (
+            subsample_keep_probs,
+            subsample_walks,
+        )
+
+        keep = subsample_keep_probs(counts, cfg.sample)
+        keep = None if keep is None else jnp.asarray(keep)
         # steps per epoch from the per-device packing actually used
         pk = max(min(max(128 // L, 1), max(bw // n, 1)), 1)
         bw_used = max((max(bw // n, 1) // pk) * pk, pk) * n
@@ -147,6 +151,10 @@ class DistributedSkipGramTrainer:
                 shuffled = _shuffle_walks(
                     walks, jax.random.fold_in(k_shuf, epoch)
                 )
+                if keep is not None:
+                    shuffled = subsample_walks(
+                        shuffled, keep, jax.random.fold_in(k_sub, epoch)
+                    )
                 for _ in range(chunks_per_epoch):
                     if t < resume_step:
                         t += cfg.chunk_steps

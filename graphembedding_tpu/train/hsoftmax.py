@@ -226,7 +226,7 @@ class HSTrainer:
 
     def __init__(self, embed_size=128, window=5, epochs=5,
                  block_walks=504, alpha=0.025, min_alpha=1e-4,
-                 chunk_steps=64, update_cap=8.0, seed=0):
+                 chunk_steps=64, update_cap=8.0, sample=1e-3, seed=0):
         self.embed_size = embed_size
         self.window = window
         self.epochs = epochs
@@ -235,14 +235,22 @@ class HSTrainer:
         self.min_alpha = min_alpha
         self.chunk_steps = chunk_steps
         self.update_cap = update_cap
+        self.sample = sample  # gensim-default frequent-node subsampling
         self.seed = seed
 
     def fit(self, walks, num_nodes, key=None):
-        from graphembedding_tpu.train.skipgram import corpus_counts
+        from graphembedding_tpu.train.skipgram import (
+            corpus_counts,
+            subsample_keep_probs,
+            subsample_walks,
+        )
 
         if key is None:
             key = jax.random.PRNGKey(self.seed)
         counts = corpus_counts(walks, num_nodes)
+        # Huffman tree over RAW counts (gensim builds the vocab first)
+        keep = subsample_keep_probs(counts, self.sample)
+        keep = None if keep is None else jnp.asarray(keep)
         points, codes, depth = build_huffman(counts)
         points = jnp.asarray(points)
         codes = jnp.asarray(codes)
@@ -258,7 +266,7 @@ class HSTrainer:
         # LR decays over steps actually executed (see train.skipgram)
         n_steps = self.epochs * chunks_per_epoch * self.chunk_steps
 
-        k_init, k_shuf, k_train = jax.random.split(key, 3)
+        k_init, k_shuf, k_train, k_sub = jax.random.split(key, 4)
         w_in = (
             jax.random.uniform(k_init, (num_nodes, self.embed_size))
             - 0.5
@@ -274,6 +282,10 @@ class HSTrainer:
             shuffled = _shuffle_walks(
                 walks, jax.random.fold_in(k_shuf, epoch)
             )
+            if keep is not None:
+                shuffled = subsample_walks(
+                    shuffled, keep, jax.random.fold_in(k_sub, epoch)
+                )
             for c in range(chunks_per_epoch):
                 w_in, w_tree, l = hs_block_chunk(
                     w_in, w_tree, shuffled, points, codes, k_train,

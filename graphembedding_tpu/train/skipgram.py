@@ -71,9 +71,21 @@ class SkipGramConfig:
     min_alpha: float = 1e-4
     ns_exponent: float = 0.75
     neg_table_size: int = 1 << 20
+    sample: float = 1e-3  # frequent-node subsampling threshold — the
+    # gensim `Word2Vec(sample=1e-3)` default the reference inherits
+    # (its models never override it); 0 disables
     chunk_steps: int = 64  # scan steps per compiled chunk
     update_cap: float = 8.0  # per-row accumulation cap (sequential-
     # update magnitudes a row may move per step; see the step fn)
+    cap_mode: str = "auto"  # 'dense' | 'sparse' | 'auto': how the cap
+    # is applied. dense scatters into a [V, 2D+1] buffer and applies the
+    # cap as full-table rowwise passes — cheapest while V is small
+    # (buffers stream at HBM bandwidth, scatter rows are the minimum
+    # possible). sparse never touches O(V·D) buffers: scatter occupancy
+    # [V, 2] -> gather per-token scales -> scatter PRE-SCALED grads
+    # straight into the donated table; ~3x the row issues but no
+    # V-proportional streams, so it wins once V·D streams out-cost the
+    # extra issues. auto picks by table size (see SkipGramTrainer.fit)
     use_pallas: bool = False  # fused Pallas compute kernel (see
     # ops.pallas_sgns) vs plain XLA einsums for the block gradients
     seed: int = 0
@@ -123,6 +135,42 @@ def negative_table(
     ).astype(np.int32)
 
 
+def subsample_keep_probs(
+    counts: np.ndarray, sample: float
+) -> np.ndarray | None:
+    """word2vec frequent-word downsampling keep-probabilities.
+
+    gensim/word2vec.c rule: a node with corpus frequency f = count/total
+    is kept with probability (sqrt(f/sample) + 1) * sample/f, clipped to
+    1 (nodes rarer than `sample` are always kept). Returns None when
+    sample <= 0 (subsampling disabled).
+    """
+    if sample <= 0:
+        return None
+    total = max(float(counts.sum()), 1.0)
+    f = counts / total
+    with np.errstate(divide="ignore", invalid="ignore"):
+        p = (np.sqrt(f / sample) + 1.0) * (sample / f)
+    return np.where(f > 0, np.minimum(p, 1.0), 0.0).astype(np.float32)
+
+
+@jax.jit
+def subsample_walks(walks, keep, key):
+    """Drop tokens i.i.d. by keep[token] and compact each walk left.
+
+    Compaction (stable argsort on the drop mask) reproduces gensim's
+    semantics exactly: surviving tokens become adjacent, so skip-gram
+    windows span across removed frequent nodes. Dropped tail positions
+    are -1 (the corpus pad id). Redrawn every epoch, like gensim's
+    per-pass sentence subsampling.
+    """
+    ok = walks >= 0
+    kp = keep[jnp.where(ok, walks, 0)]
+    km = ok & (jax.random.uniform(key, walks.shape) < kp)
+    order = jnp.argsort(jnp.logical_not(km), axis=1, stable=True)
+    return jnp.take_along_axis(jnp.where(km, walks, -1), order, axis=1)
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -134,6 +182,7 @@ def negative_table(
         "neg_share_walks",
         "use_pallas",
         "update_cap",
+        "sparse_cap",
     ),
     donate_argnums=(0, 1),
 )
@@ -156,6 +205,7 @@ def sgns_block_chunk(
     neg_share_walks,
     use_pallas=False,
     update_cap=8.0,
+    sparse_cap=False,
 ):
     """`chunk_steps` SGNS steps over consecutive walk blocks (one scan).
 
@@ -278,35 +328,76 @@ def sgns_block_chunk(
         # learning for the typical R ≤ cap row.
         cap = jnp.float32(update_cap)
         flat = tok_safe.reshape(-1)
-        # token-gradient buffer: [.., :2D] grads, [.., 2D] occupancy
-        d_tok = jnp.concatenate(
-            [
-                d_yin.reshape(-1, D),
-                d_yout.reshape(-1, D),
-                jnp.ones((G * PL, 1), jnp.float32),
-            ],
-            axis=1,
-        )
-        tbuf = jnp.zeros((V, 2 * D + 1), jnp.float32).at[flat].add(d_tok)
-        tok_scale = jnp.minimum(
-            1.0, cap / jnp.maximum(tbuf[:, 2 * D], 1.0)
-        )[:, None]
+        nflat = neg.reshape(-1)
         # negative rows: accumulated event weight = n_pairs·neg_w summed
         # over the group's centers (σ ≤ 1), plus cross-group collisions
-        nflat = neg.reshape(-1)
         neg_weight = jnp.broadcast_to(
             jnp.sum(n_pairs * neg_w, axis=1)[:, None], (G, K)
         ).reshape(-1)
-        d_neg = jnp.concatenate(
-            [d_vn.reshape(-1, D), neg_weight[:, None]], axis=1
-        )
-        nbuf = jnp.zeros((V, D + 1), jnp.float32).at[nflat].add(d_neg)
-        neg_scale = jnp.minimum(
-            1.0, cap / jnp.maximum(nbuf[:, D], 1.0)
-        )[:, None]
+        if sparse_cap:
+            # large-V path: no O(V·D) buffer. Occupancy first (two
+            # [V]-sized f32 vectors — 1-D scatters, which XLA lowers
+            # well; 2-D element scatters like .at[idx, col] are ~40x
+            # slower, measured), then scales are gathered back per
+            # token/negative and the grads scattered PRE-SCALED into
+            # the donated table in ONE full-width row scatter. Same
+            # math: the cap scale is constant per row, so scaling each
+            # contribution equals scaling the row's sum.
+            occ_t = jnp.zeros((V,), jnp.float32).at[flat].add(1.0)
+            occ_n = jnp.zeros((V,), jnp.float32).at[nflat].add(
+                neg_weight
+            )
+            tok_scale = jnp.minimum(
+                1.0, cap / jnp.maximum(occ_t[flat], 1.0)
+            )
+            neg_scale = jnp.minimum(
+                1.0, cap / jnp.maximum(occ_n[nflat], 1.0)
+            )
+            d_tok = jnp.concatenate(
+                [d_yin.reshape(-1, D), d_yout.reshape(-1, D)], axis=1
+            )
+            d_neg_full = jnp.concatenate(
+                [
+                    jnp.zeros((G * K, D), jnp.float32),
+                    d_vn.reshape(-1, D) * neg_scale[:, None],
+                ],
+                axis=1,
+            )
+            upd = jnp.concatenate(
+                [d_tok * tok_scale[:, None], d_neg_full], axis=0
+            )
+            idx = jnp.concatenate([flat, nflat], axis=0)
+            w_cat = w_cat.at[idx].add((-lr) * upd)
+        else:
+            # token-gradient buffer: [.., :2D] grads, [.., 2D] occupancy
+            d_tok = jnp.concatenate(
+                [
+                    d_yin.reshape(-1, D),
+                    d_yout.reshape(-1, D),
+                    jnp.ones((G * PL, 1), jnp.float32),
+                ],
+                axis=1,
+            )
+            tbuf = jnp.zeros((V, 2 * D + 1), jnp.float32).at[flat].add(
+                d_tok
+            )
+            tok_scale = jnp.minimum(
+                1.0, cap / jnp.maximum(tbuf[:, 2 * D], 1.0)
+            )[:, None]
+            d_neg = jnp.concatenate(
+                [d_vn.reshape(-1, D), neg_weight[:, None]], axis=1
+            )
+            nbuf = jnp.zeros((V, D + 1), jnp.float32).at[nflat].add(
+                d_neg
+            )
+            neg_scale = jnp.minimum(
+                1.0, cap / jnp.maximum(nbuf[:, D], 1.0)
+            )[:, None]
 
-        w_cat = w_cat + (-lr) * tbuf[:, : 2 * D] * tok_scale
-        w_cat = w_cat.at[:, D:].add((-lr) * nbuf[:, :D] * neg_scale)
+            w_cat = w_cat + (-lr) * tbuf[:, : 2 * D] * tok_scale
+            w_cat = w_cat.at[:, D:].add(
+                (-lr) * nbuf[:, :D] * neg_scale
+            )
 
         n_tot = jnp.maximum(jnp.sum(mask), 1.0)
         loss = jnp.sum(loss_g) / n_tot
@@ -351,7 +442,7 @@ class SkipGramTrainer:
         cfg = self.config
         if key is None:
             key = jax.random.PRNGKey(cfg.seed)
-        k_init, k_shuf, k_train = jax.random.split(key, 3)
+        k_init, k_shuf, k_train, k_sub = jax.random.split(key, 4)
         w_in, w_out = self.init_tables(num_nodes, k_init)
 
         resume_step = 0
@@ -386,13 +477,25 @@ class SkipGramTrainer:
         # run many more steps than n_blocks per epoch
         n_steps = cfg.epochs * chunks_per_epoch * cfg.chunk_steps
 
+        counts = corpus_counts(walks, num_nodes)
+        # negative table from RAW counts (gensim builds it from the
+        # vocab, before subsampling)
         table = jnp.asarray(
-            negative_table(
-                corpus_counts(walks, num_nodes),
-                cfg.ns_exponent,
-                cfg.neg_table_size,
-            )
+            negative_table(counts, cfg.ns_exponent, cfg.neg_table_size)
         )
+        keep = subsample_keep_probs(counts, cfg.sample)
+        keep = None if keep is None else jnp.asarray(keep)
+
+        if cfg.cap_mode == "auto":
+            # dense cap passes stream ~3.5 × V×(2D+1) f32 per step;
+            # sparse swaps them for ~2 extra row-issue rounds over the
+            # ~Bw·(L+K/P) touched rows. Measured on one v5e chip
+            # (benchmarks/table_scale.py): dense 80.7M vs sparse 68.3M
+            # pairs/s at 10k nodes, 49.0 vs 51.4M at 100k (crossover),
+            # 9.4 vs 24.1M at 1M — sparse is 2.6x at 1M nodes
+            sparse_cap = num_nodes >= (1 << 16)
+        else:
+            sparse_cap = cfg.cap_mode == "sparse"
 
         losses = []
         t = 0
@@ -406,6 +509,10 @@ class SkipGramTrainer:
             shuffled = _shuffle_walks(
                 walks, jax.random.fold_in(k_shuf, epoch)
             )
+            if keep is not None:
+                shuffled = subsample_walks(
+                    shuffled, keep, jax.random.fold_in(k_sub, epoch)
+                )
             for c in range(chunks_per_epoch):
                 if t < resume_step:
                     t += cfg.chunk_steps
@@ -428,6 +535,7 @@ class SkipGramTrainer:
                     neg_share_walks=cfg.neg_share_walks,
                     use_pallas=cfg.use_pallas,
                     update_cap=cfg.update_cap,
+                    sparse_cap=sparse_cap,
                 )
                 losses.append(l)
                 t += cfg.chunk_steps

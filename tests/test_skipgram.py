@@ -191,3 +191,80 @@ def test_sgns_chunk_block_larger_than_corpus():
     )
     assert np.isfinite(np.asarray(l)).all()
     assert float(pairs.min()) > 0
+
+
+def test_subsample_keep_probs_word2vec_rule():
+    from graphembedding_tpu.train.skipgram import subsample_keep_probs
+
+    counts = np.array([500.0, 5.0, 0.0, 495.0])  # total 1000
+    s = 1e-2
+    p = subsample_keep_probs(counts, s)
+    # rare node (f=0.005 < sample): always kept
+    assert p[1] == 1.0
+    # zero-count node: probability 0 (never appears anyway)
+    assert p[2] == 0.0
+    # frequent node: (sqrt(f/s)+1)*s/f, clipped to 1
+    f = 0.5
+    np.testing.assert_allclose(p[0], (np.sqrt(f / s) + 1) * s / f,
+                               rtol=1e-6)
+    assert subsample_keep_probs(counts, 0.0) is None
+
+
+def test_subsample_walks_compacts_left():
+    from graphembedding_tpu.train.skipgram import subsample_walks
+
+    walks = jnp.array([[3, 7, 3, 5, -1], [7, 7, 7, 7, 7]], jnp.int32)
+    # drop node 7 always, keep everything else always
+    keep = jnp.array([1.0] * 7 + [0.0], jnp.float32)
+    out = np.asarray(
+        subsample_walks(walks, keep, jax.random.PRNGKey(0))
+    )
+    # survivors adjacent (windows span dropped tokens), -1 padded tail
+    np.testing.assert_array_equal(out[0], [3, 3, 5, -1, -1])
+    np.testing.assert_array_equal(out[1], [-1] * 5)
+
+
+def test_subsample_walks_statistics():
+    from graphembedding_tpu.train.skipgram import subsample_walks
+
+    rng = np.random.default_rng(0)
+    walks = jnp.asarray(rng.integers(0, 2, (2000, 10)).astype(np.int32))
+    keep = jnp.array([1.0, 0.25], jnp.float32)
+    out = np.asarray(
+        subsample_walks(walks, keep, jax.random.PRNGKey(1))
+    )
+    n0 = int((out == 0).sum())
+    n1 = int((out == 1).sum())
+    assert n0 == int((np.asarray(walks) == 0).sum())  # kept fully
+    expected = 0.25 * float((np.asarray(walks) == 1).sum())
+    assert abs(n1 - expected) / expected < 0.05
+
+
+def test_sparse_cap_matches_dense():
+    # the sparse-cap path must compute the same update as the dense
+    # path (per-row cap scale is constant per row, so pre-scaling each
+    # contribution is the same sum, up to float association)
+    rng = np.random.default_rng(3)
+    V, NW, L, D = 60, 128, 8, 16
+    walks = rng.integers(0, V, (NW, L)).astype(np.int32)
+    table = jnp.asarray(
+        negative_table(corpus_counts(walks, V), size=4096)
+    )
+    key = jax.random.PRNGKey(7)
+    w_in0 = (jax.random.uniform(key, (V, D)) - 0.5) / D
+    w_out0 = jax.random.normal(jax.random.PRNGKey(8), (V, D)) * 0.01
+    outs = []
+    for sparse in (False, True):
+        w_in, w_out, losses, _ = sgns_block_chunk(
+            jnp.array(w_in0), jnp.array(w_out0), jnp.asarray(walks),
+            table, jax.random.PRNGKey(5), jnp.float32(0.025),
+            jnp.float32(1e-4), jnp.int32(0), jnp.float32(64),
+            chunk_steps=8, block_walks=32, window=3, negative=4,
+            k_shared=16, neg_share_walks=4, update_cap=2.0,
+            sparse_cap=sparse,
+        )
+        outs.append((np.asarray(w_in), np.asarray(w_out),
+                     np.asarray(losses)))
+    np.testing.assert_allclose(outs[0][0], outs[1][0], atol=1e-5)
+    np.testing.assert_allclose(outs[0][1], outs[1][1], atol=1e-5)
+    np.testing.assert_allclose(outs[0][2], outs[1][2], atol=1e-5)
