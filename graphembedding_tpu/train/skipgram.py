@@ -498,6 +498,7 @@ class SkipGramTrainer:
             sparse_cap = cfg.cap_mode == "sparse"
 
         losses = []
+        pairs_seen = []
         t = 0
         n_chunk_calls = 0
         total_steps = jnp.float32(n_steps)
@@ -517,7 +518,7 @@ class SkipGramTrainer:
                 if t < resume_step:
                     t += cfg.chunk_steps
                     continue
-                w_in, w_out, l, _ = sgns_block_chunk(
+                w_in, w_out, l, p = sgns_block_chunk(
                     w_in,
                     w_out,
                     shuffled,
@@ -538,6 +539,7 @@ class SkipGramTrainer:
                     sparse_cap=sparse_cap,
                 )
                 losses.append(l)
+                pairs_seen.append(p)
                 t += cfg.chunk_steps
                 n_chunk_calls += 1
                 if metrics is not None:
@@ -560,4 +562,10 @@ class SkipGramTrainer:
                     )
         if not losses:  # fully resumed past the end
             losses = [jnp.zeros((0,), jnp.float32)]
+        # observability: total (center, context) pairs actually trained
+        # this fit — benchmarks read this for exact pairs/s
+        self.trained_pairs_ = (
+            float(jnp.concatenate(pairs_seen).sum()) if pairs_seen
+            else 0.0
+        )
         return w_in, w_out, jnp.concatenate(losses)

@@ -144,7 +144,9 @@ def test_trainer_end_to_end_two_cliques():
     cfg = SkipGramConfig(embed_size=16, window=3, epochs=4,
                          block_walks=64, k_shared=16, alpha=0.05,
                          chunk_steps=8)
-    w_in, w_out, losses = SkipGramTrainer(cfg).fit(walks, V)
+    trainer = SkipGramTrainer(cfg)
+    w_in, w_out, losses = trainer.fit(walks, V)
+    assert trainer.trained_pairs_ > 0  # observability for benchmarks
     emb = np.asarray(w_in)
     emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
     sims = emb @ emb.T
