@@ -61,12 +61,15 @@ class DistributedSkipGramTrainer:
             negative_table(counts, cfg.ns_exponent, cfg.neg_table_size)
         )
         from graphembedding_tpu.train.skipgram import (
+            _gather_keep,
+            _prepare_epoch,
             subsample_keep_probs,
-            subsample_walks,
         )
 
         keep = subsample_keep_probs(counts, cfg.sample)
-        keep = None if keep is None else jnp.asarray(keep)
+        keep_tok = (
+            None if keep is None else _gather_keep(walks, jnp.asarray(keep))
+        )
         # steps per epoch from the per-device packing actually used
         pk = max(min(max(128 // L, 1), max(bw // n, 1)), 1)
         bw_used = max((max(bw // n, 1) // pk) * pk, pk) * n
@@ -148,12 +151,13 @@ class DistributedSkipGramTrainer:
                 if t + epoch_steps <= resume_step:
                     t += epoch_steps  # fully-resumed epoch: skip the
                     continue  # corpus shuffle too
-                shuffled = _shuffle_walks(
-                    walks, jax.random.fold_in(k_shuf, epoch)
-                )
-                if keep is not None:
-                    shuffled = subsample_walks(
-                        shuffled, keep, jax.random.fold_in(k_sub, epoch)
+                if keep_tok is not None:
+                    shuffled = _prepare_epoch(
+                        walks, keep_tok, jax.random.fold_in(k_sub, epoch)
+                    )
+                else:
+                    shuffled = _shuffle_walks(
+                        walks, jax.random.fold_in(k_shuf, epoch)
                     )
                 for _ in range(chunks_per_epoch):
                     if t < resume_step:

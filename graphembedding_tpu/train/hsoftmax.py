@@ -240,9 +240,9 @@ class HSTrainer:
 
     def fit(self, walks, num_nodes, key=None):
         from graphembedding_tpu.train.skipgram import (
+            _gather_keep,
             corpus_counts,
             subsample_keep_probs,
-            subsample_walks,
         )
 
         if key is None:
@@ -250,7 +250,6 @@ class HSTrainer:
         counts = corpus_counts(walks, num_nodes)
         # Huffman tree over RAW counts (gensim builds the vocab first)
         keep = subsample_keep_probs(counts, self.sample)
-        keep = None if keep is None else jnp.asarray(keep)
         points, codes, depth = build_huffman(counts)
         points = jnp.asarray(points)
         codes = jnp.asarray(codes)
@@ -274,17 +273,24 @@ class HSTrainer:
         w_tree = jnp.zeros((max(num_nodes - 1, 1), self.embed_size),
                            jnp.float32)
 
-        from graphembedding_tpu.train.skipgram import _shuffle_walks
+        from graphembedding_tpu.train.skipgram import (
+            _prepare_epoch,
+            _shuffle_walks,
+        )
 
+        keep_tok = (
+            None if keep is None else _gather_keep(walks, jnp.asarray(keep))
+        )
         losses = []
         t = 0
         for epoch in range(self.epochs):
-            shuffled = _shuffle_walks(
-                walks, jax.random.fold_in(k_shuf, epoch)
-            )
-            if keep is not None:
-                shuffled = subsample_walks(
-                    shuffled, keep, jax.random.fold_in(k_sub, epoch)
+            if keep_tok is not None:
+                shuffled = _prepare_epoch(
+                    walks, keep_tok, jax.random.fold_in(k_sub, epoch)
+                )
+            else:
+                shuffled = _shuffle_walks(
+                    walks, jax.random.fold_in(k_shuf, epoch)
                 )
             for c in range(chunks_per_epoch):
                 w_in, w_tree, l = hs_block_chunk(
