@@ -87,6 +87,28 @@ def build_row_alias(
     return accept, alias
 
 
+def create_alias_table(area_ratio) -> Tuple[list, list]:
+    """Reference-signature alias construction (`ge.alias.create_alias_table [U]`).
+
+    Takes a normalized probability list and returns `(accept, alias)` as
+    Python lists, exactly the shape reference callers expect. Thin shim
+    over `build_alias_table` for verbatim user migration.
+    """
+    accept, alias = build_alias_table(np.asarray(area_ratio))
+    return accept.tolist(), alias.tolist()
+
+
+def alias_sample(accept, alias) -> int:
+    """Reference-signature single draw (`ge.alias.alias_sample [U]`).
+
+    Two `np.random.random()` draws against global numpy RNG state, like
+    the reference; device paths use `alias_draw` instead.
+    """
+    n = len(accept)
+    i = int(np.random.random() * n)
+    return i if np.random.random() < accept[i] else int(alias[i])
+
+
 def alias_sample_host(
     accept: np.ndarray, alias: np.ndarray, rng: np.random.Generator, size=None
 ):

@@ -110,3 +110,19 @@ def test_full_reference_migration_path():
         Y = [y for x, y in zip(*read_node_label(lpath)) if x in embeddings]
         res = Classifier(embeddings).split_train_evaluate(X, Y, 0.5)
         assert "micro" in res and 0.0 <= res["micro"] <= 1.0
+
+
+def test_reference_alias_api():
+    """`ge.alias`-signature shims: list-in/list-out build + single draw."""
+    import numpy as np
+
+    from graphembedding_tpu.ops.alias import alias_sample, create_alias_table
+
+    probs = [0.5, 0.3, 0.2]
+    accept, alias = create_alias_table(probs)
+    assert isinstance(accept, list) and isinstance(alias, list)
+    assert len(accept) == len(alias) == 3
+    np.random.seed(0)
+    draws = np.array([alias_sample(accept, alias) for _ in range(20000)])
+    emp = np.bincount(draws, minlength=3) / draws.size
+    assert np.abs(emp - np.asarray(probs)).max() < 0.02
