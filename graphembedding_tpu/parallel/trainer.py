@@ -23,9 +23,8 @@ import jax.numpy as jnp
 
 from graphembedding_tpu.train.skipgram import (
     SkipGramConfig,
+    _device_prep,
     _shuffle_walks,
-    corpus_counts,
-    negative_table,
 )
 
 
@@ -56,20 +55,21 @@ class DistributedSkipGramTrainer:
         # cap at NW//4 so tiny corpora keep sequential blocks per
         # epoch (see train.skipgram), but never below the data axis
         bw = min(cfg.block_walks, max(NW // 4, n))
-        counts = corpus_counts(walks, num_nodes)
-        table = jnp.asarray(
-            negative_table(counts, cfg.ns_exponent, cfg.neg_table_size)
-        )
         from graphembedding_tpu.train.skipgram import (
             _gather_keep,
             _prepare_epoch,
-            subsample_keep_probs,
         )
 
-        keep = subsample_keep_probs(counts, cfg.sample)
-        keep_tok = (
-            None if keep is None else _gather_keep(walks, jnp.asarray(keep))
+        # device-resident prep (counts/table/keep never cross to host
+        # — see train.skipgram._device_prep)
+        _, table, keep = _device_prep(
+            walks,
+            num_nodes=num_nodes,
+            size=cfg.neg_table_size,
+            exponent=cfg.ns_exponent,
+            sample=cfg.sample,
         )
+        keep_tok = None if keep is None else _gather_keep(walks, keep)
         # steps per epoch from the per-device packing actually used
         pk = max(min(max(128 // L, 1), max(bw // n, 1)), 1)
         bw_used = max((max(bw // n, 1) // pk) * pk, pk) * n

@@ -171,6 +171,57 @@ def subsample_walks(walks, keep, key):
     return jnp.take_along_axis(jnp.where(km, walks, -1), order, axis=1)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("num_nodes", "size", "exponent", "sample"),
+)
+def _device_prep(walks, *, num_nodes, size, exponent, sample):
+    """Fused on-device fit prep: counts -> negative table -> keep probs.
+
+    At 1M nodes the host path (pull counts to host, numpy
+    power/cumsum/searchsorted, push the 4MB table back through the
+    tunnel) measured ~2-2.5 s per fit — comparable to half an epoch of
+    training; this compiled version is ~ms and nothing crosses the
+    host boundary. The table is built exactly like `negative_table`
+    (inverse CDF of unigram^exponent at (j+0.5)/size grid points) but
+    with a scatter+cumsum instead of searchsorted: node i's boundary
+    lands at m_i = floor(cum_i*size + 0.5), and
+    table[j] = #{i : m_i <= j} reproduces `searchsorted(cum, q,
+    'left')` slot-for-slot (modulo f32 rounding of the cumsum, ~1e-4
+    relative — under the table's own 1/size granularity).
+    """
+    ids = walks.reshape(-1)
+    valid = ids >= 0
+    counts = jnp.zeros((num_nodes,), jnp.float32).at[
+        jnp.where(valid, ids, 0)
+    ].add(valid.astype(jnp.float32))
+
+    p = jnp.power(jnp.maximum(counts, 0.0), exponent)
+    total_p = jnp.sum(p)
+    p = jnp.where(total_p > 0, p, jnp.ones_like(p))
+    cum = jnp.cumsum(p) / jnp.maximum(jnp.sum(p), 1.0)
+    m = jnp.floor(cum * size + 0.5).astype(jnp.int32)
+    # boundaries at/after the end contribute to no slot: park them in
+    # an overflow slot and drop it
+    m = jnp.where(m < size, jnp.clip(m, 0, size - 1), size)
+    marks = jnp.zeros((size + 1,), jnp.int32).at[m].add(1)
+    # inclusive cumsum over slots: table[j] = #{i : m_i <= j}, the
+    # number of CDF boundaries passed by grid point j — exactly the
+    # searchsorted index. The final node's boundary sits at slot
+    # `size` (cum = 1.0), so in-range slots top out at num_nodes-1;
+    # the clip only guards f32 rounding at the edge.
+    table = jnp.clip(jnp.cumsum(marks[:-1]), 0, num_nodes - 1)
+
+    if sample > 0:
+        total_c = jnp.maximum(jnp.sum(counts), 1.0)
+        f = counts / total_c
+        kp = (jnp.sqrt(f / sample) + 1.0) * (sample / jnp.maximum(f, 1e-30))
+        keep = jnp.where(f > 0, jnp.minimum(kp, 1.0), 0.0)
+    else:
+        keep = None
+    return counts, table, keep
+
+
 @jax.jit
 def _gather_keep(walks, keep):
     """Per-token keep-probabilities [NW, L], gathered once per fit.
@@ -520,16 +571,18 @@ class SkipGramTrainer:
         # run many more steps than n_blocks per epoch
         n_steps = cfg.epochs * chunks_per_epoch * cfg.chunk_steps
 
-        counts = corpus_counts(walks, num_nodes)
         # negative table from RAW counts (gensim builds it from the
-        # vocab, before subsampling)
-        table = jnp.asarray(
-            negative_table(counts, cfg.ns_exponent, cfg.neg_table_size)
+        # vocab, before subsampling) and the subsampling keep-probs,
+        # built fully on device — the host build + table upload cost
+        # ~2.5 s per fit at 1M nodes (see _device_prep)
+        _, table, keep = _device_prep(
+            walks,
+            num_nodes=num_nodes,
+            size=cfg.neg_table_size,
+            exponent=cfg.ns_exponent,
+            sample=cfg.sample,
         )
-        keep = subsample_keep_probs(counts, cfg.sample)
-        keep_tok = (
-            None if keep is None else _gather_keep(walks, jnp.asarray(keep))
-        )
+        keep_tok = None if keep is None else _gather_keep(walks, keep)
 
         if cfg.cap_mode == "auto":
             # dense cap passes stream ~3.5 × V×(2D+1) f32 per step;

@@ -212,6 +212,38 @@ def test_subsample_keep_probs_word2vec_rule():
     assert subsample_keep_probs(counts, 0.0) is None
 
 
+def test_device_prep_matches_host_builders():
+    """_device_prep reproduces the numpy negative table + keep probs."""
+    from graphembedding_tpu.train.skipgram import (
+        _device_prep,
+        subsample_keep_probs,
+    )
+
+    rng = np.random.default_rng(3)
+    V, NW, L = 300, 500, 10
+    walks = rng.integers(0, V, (NW, L)).astype(np.int32)
+    walks[rng.random((NW, L)) < 0.1] = -1  # pads must be ignored
+    size = 1 << 14
+    counts_d, table_d, keep_d = _device_prep(
+        jnp.asarray(walks), num_nodes=V, size=size, exponent=0.75,
+        sample=1e-3,
+    )
+    counts = corpus_counts(walks, V)
+    np.testing.assert_array_equal(np.asarray(counts_d), counts)
+    table = negative_table(counts, exponent=0.75, size=size)
+    # slot-for-slot agreement modulo f32 cumsum rounding at boundaries
+    agree = float(np.mean(np.asarray(table_d) == table))
+    assert agree > 0.999, agree
+    keep = subsample_keep_probs(counts, 1e-3)
+    np.testing.assert_allclose(np.asarray(keep_d), keep, atol=1e-5)
+    # sample=0 disables subsampling in both paths
+    _, _, keep_none = _device_prep(
+        jnp.asarray(walks), num_nodes=V, size=size, exponent=0.75,
+        sample=0.0,
+    )
+    assert keep_none is None
+
+
 def test_subsample_walks_compacts_left():
     from graphembedding_tpu.train.skipgram import subsample_walks
 
