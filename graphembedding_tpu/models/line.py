@@ -5,8 +5,8 @@ Python generator that alias-samples edges (by weight) and negatives (by
 degree^0.75), alternating a positive batch (sign +1) with `negative_ratio`
 negative batches (sign -1), loss `-mean(log sigma(sign * <e_i, e_j>))`.
 
-TPU redesign: sampling moves on device (edge alias table over E + the
-degree^0.75 cumulative table), and each compiled step fuses one positive
+TPU redesign: sampling moves on device (edge alias table over E + a
+pre-sampled degree^0.75 lookup table), and each compiled step fuses one positive
 pair AND its K negatives per sampled edge — mathematically the same
 objective as the reference's sign-alternated batches, without the
 per-batch Python/TF boundary (the reference's actual bottleneck,
@@ -41,7 +41,7 @@ def line_train_chunk(
     edge_dst,
     edge_accept,
     edge_alias,
-    neg_cum,
+    neg_table,
     key,
     lr0,
     t0,
@@ -55,11 +55,13 @@ def line_train_chunk(
     """One fixed-size compiled chunk of LINE SGD over sampled edges.
 
     For order='first' the ctx table is unused (symmetric dot on emb).
-    All sampling (edge alias draws, negative searchsorted) is hoisted out
-    of the scan in bulk — see the TPU performance note in
-    `train.skipgram.sgns_train_chunk`."""
+    All sampling is hoisted out of the scan in bulk — see the TPU
+    performance note in `train.skipgram.sgns_train_chunk`. Negatives
+    come from a pre-sampled degree^0.75 inverse-CDF table (one int
+    gather per draw), replacing a per-draw `searchsorted` over the
+    cumulative weights — the word2vec table trick, as in
+    `train.skipgram`."""
     n_edges = edge_src.shape[0]
-    total = neg_cum[-1]
     S, B, K = chunk_steps, batch_size, negative
 
     k1, k2, k3 = jax.random.split(jax.random.fold_in(key, t0), 3)
@@ -70,11 +72,11 @@ def line_train_chunk(
     eidx = jnp.where(take, pick, edge_alias[pick])
     hs = edge_src[eidx]
     tposs = edge_dst[eidx]
-    un = jax.random.uniform(k3, (S, B, K))
-    tnegs = jnp.searchsorted(
-        neg_cum, (un * total).reshape(-1)
-    ).astype(jnp.int32).reshape(S, B, K)
-    tnegs = jnp.clip(tnegs, 0, emb.shape[0] - 1)
+    tnegs = neg_table[
+        jax.random.randint(
+            k3, (S, B, K), 0, neg_table.shape[0], dtype=jnp.int32
+        )
+    ]
     lrs = lr0 * jnp.maximum(
         1.0
         - (t0 + jnp.arange(S, dtype=jnp.int32)).astype(jnp.float32)
@@ -134,7 +136,7 @@ def line_train(
     edge_dst,
     edge_accept,
     edge_alias,
-    neg_cum,
+    neg_table,
     key,
     lr0,
     *,
@@ -156,7 +158,7 @@ def line_train(
             edge_dst,
             edge_accept,
             edge_alias,
-            neg_cum,
+            neg_table,
             key,
             lr0,
             jnp.int32(c * chunk_steps),
@@ -197,12 +199,15 @@ class LINE:
         self._edge_accept = jnp.asarray(acc)
         self._edge_alias = jnp.asarray(alias)
         # negative table: degree^0.75 over *weighted out-degree* (the
-        # reference uses sum of outgoing weights per node)
+        # reference uses sum of outgoing weights per node), pre-sampled
+        # into an inverse-CDF lookup table on device
+        from graphembedding_tpu.train.skipgram import inverse_cdf_table
+
         wdeg = np.zeros(g.num_nodes, dtype=np.float64)
         np.add.at(wdeg, src, w.astype(np.float64))
-        self._neg_cum = jnp.asarray(
-            np.cumsum(np.power(wdeg, 0.75)).astype(np.float32)
-        )
+        self._neg_table = jax.jit(
+            inverse_cdf_table, static_argnums=1
+        )(jnp.asarray(np.power(wdeg, 0.75), jnp.float32), 1 << 20)
 
         key = jax.random.PRNGKey(seed)
         k1, k2, k3 = jax.random.split(key, 3)
@@ -239,7 +244,7 @@ class LINE:
                 self._edge_dst,
                 self._edge_accept,
                 self._edge_alias,
-                self._neg_cum,
+                self._neg_table,
                 key,
                 jnp.float32(initial_lr),
                 n_steps=n_steps,
@@ -256,7 +261,7 @@ class LINE:
                 self._edge_dst,
                 self._edge_accept,
                 self._edge_alias,
-                self._neg_cum,
+                self._neg_table,
                 jax.random.fold_in(key, 1),
                 jnp.float32(initial_lr),
                 n_steps=n_steps,

@@ -131,22 +131,32 @@ def sgns_block_grads_pallas(yin, yout, vn, mask, neg_ok, neg_w,
     return d_yin, d_yout, d_vn, loss[:, 0, 0]
 
 
-def sgns_block_grads_xla(yin, yout, vn, mask, neg_ok, neg_w):
-    """Reference XLA einsum path (identical math)."""
-    logits = jnp.einsum("gld,gmd->glm", yin, yout,
+def sgns_block_grads_xla(yin, yout, vn, mask, neg_ok, neg_w,
+                         bf16=False):
+    """Reference XLA einsum path (identical math).
+
+    bf16=True runs the six einsums with bfloat16 operands and f32
+    accumulation (the MXU's native mode — 2x the f32 matmul rate);
+    logits land in f32, so only the ~3-decimal-digit rounding of the
+    embedding rows themselves differs. The tables, gradients, and SGD
+    update stay f32.
+    """
+    cd = jnp.bfloat16 if bf16 else jnp.float32
+    yin_c, yout_c, vn_c = yin.astype(cd), yout.astype(cd), vn.astype(cd)
+    logits = jnp.einsum("gld,gmd->glm", yin_c, yout_c,
                         preferred_element_type=jnp.float32)
     g_pos = (jax.nn.sigmoid(logits) - 1.0) * mask
-    nlog = jnp.einsum("gld,gkd->glk", yin, vn,
+    nlog = jnp.einsum("gld,gkd->glk", yin_c, vn_c,
                       preferred_element_type=jnp.float32)
     n_pairs = jnp.sum(mask, axis=2)
     g_neg = jax.nn.sigmoid(nlog) * (n_pairs * neg_w)[:, :, None] * neg_ok
-    d_yin = jnp.einsum("glm,gmd->gld", g_pos, yout,
+    d_yin = jnp.einsum("glm,gmd->gld", g_pos.astype(cd), yout_c,
                        preferred_element_type=jnp.float32)
-    d_yin = d_yin + jnp.einsum("glk,gkd->gld", g_neg, vn,
+    d_yin = d_yin + jnp.einsum("glk,gkd->gld", g_neg.astype(cd), vn_c,
                                preferred_element_type=jnp.float32)
-    d_yout = jnp.einsum("glm,gld->gmd", g_pos, yin,
+    d_yout = jnp.einsum("glm,gld->gmd", g_pos.astype(cd), yin_c,
                         preferred_element_type=jnp.float32)
-    d_vn = jnp.einsum("glk,gld->gkd", g_neg, yin,
+    d_vn = jnp.einsum("glk,gld->gkd", g_neg.astype(cd), yin_c,
                       preferred_element_type=jnp.float32)
     loss = -(
         jnp.sum(jnp.where(mask > 0, jax.nn.log_sigmoid(logits), 0.0)

@@ -88,6 +88,9 @@ class SkipGramConfig:
     # extra issues. auto picks by table size (see SkipGramTrainer.fit)
     use_pallas: bool = False  # fused Pallas compute kernel (see
     # ops.pallas_sgns) vs plain XLA einsums for the block gradients
+    matmul_bf16: bool = True  # run the six gradient einsums with
+    # bfloat16 operands + f32 accumulation (MXU native, 2x f32 rate);
+    # tables/updates stay f32. Wiki micro-F1 measured unchanged
     seed: int = 0
 
 
@@ -171,6 +174,32 @@ def subsample_walks(walks, keep, key):
     return jnp.take_along_axis(jnp.where(km, walks, -1), order, axis=1)
 
 
+def inverse_cdf_table(p, size: int):
+    """Pre-sampled inverse-CDF lookup table, built on device.
+
+    `table[j]` for grid points q_j = (j+0.5)/size equals
+    `searchsorted(cumsum(p)/sum(p), q_j, 'left')` — word2vec's unigram
+    table generalized to any positive weight vector — computed with a
+    scatter+cumsum instead of searchsorted: weight i's CDF boundary
+    lands at slot m_i = floor(cum_i*size + 0.5) and
+    table[j] = #{i : m_i <= j}. Traceable (use inside jit).
+    """
+    n = p.shape[0]
+    total = jnp.sum(p)
+    p = jnp.where(total > 0, p, jnp.ones_like(p))
+    cum = jnp.cumsum(p) / jnp.maximum(jnp.sum(p), 1.0)
+    m = jnp.floor(cum * size + 0.5).astype(jnp.int32)
+    # boundaries at/after the end contribute to no slot: park them in
+    # an overflow slot and drop it
+    m = jnp.where(m < size, jnp.clip(m, 0, size - 1), size)
+    marks = jnp.zeros((size + 1,), jnp.int32).at[m].add(1)
+    # inclusive cumsum over slots counts the CDF boundaries passed by
+    # grid point j — exactly the searchsorted index. The final
+    # weight's boundary sits at slot `size` (cum = 1.0), so in-range
+    # slots top out at n-1; the clip only guards f32 edge rounding.
+    return jnp.clip(jnp.cumsum(marks[:-1]), 0, n - 1)
+
+
 @partial(
     jax.jit,
     static_argnames=("num_nodes", "size", "exponent", "sample"),
@@ -196,21 +225,9 @@ def _device_prep(walks, *, num_nodes, size, exponent, sample):
         jnp.where(valid, ids, 0)
     ].add(valid.astype(jnp.float32))
 
-    p = jnp.power(jnp.maximum(counts, 0.0), exponent)
-    total_p = jnp.sum(p)
-    p = jnp.where(total_p > 0, p, jnp.ones_like(p))
-    cum = jnp.cumsum(p) / jnp.maximum(jnp.sum(p), 1.0)
-    m = jnp.floor(cum * size + 0.5).astype(jnp.int32)
-    # boundaries at/after the end contribute to no slot: park them in
-    # an overflow slot and drop it
-    m = jnp.where(m < size, jnp.clip(m, 0, size - 1), size)
-    marks = jnp.zeros((size + 1,), jnp.int32).at[m].add(1)
-    # inclusive cumsum over slots: table[j] = #{i : m_i <= j}, the
-    # number of CDF boundaries passed by grid point j — exactly the
-    # searchsorted index. The final node's boundary sits at slot
-    # `size` (cum = 1.0), so in-range slots top out at num_nodes-1;
-    # the clip only guards f32 rounding at the edge.
-    table = jnp.clip(jnp.cumsum(marks[:-1]), 0, num_nodes - 1)
+    table = inverse_cdf_table(
+        jnp.power(jnp.maximum(counts, 0.0), exponent), size
+    )
 
     if sample > 0:
         total_c = jnp.maximum(jnp.sum(counts), 1.0)
@@ -270,6 +287,7 @@ def _prepare_epoch(walks, keep_tok, key):
         "use_pallas",
         "update_cap",
         "sparse_cap",
+        "matmul_bf16",
     ),
     donate_argnums=(0, 1),
 )
@@ -293,6 +311,7 @@ def sgns_block_chunk(
     use_pallas=False,
     update_cap=8.0,
     sparse_cap=False,
+    matmul_bf16=True,
 ):
     """`chunk_steps` SGNS steps over consecutive walk blocks (one scan).
 
@@ -401,7 +420,7 @@ def sgns_block_chunk(
             )
         else:
             d_yin, d_yout, d_vn, loss_g = sgns_block_grads_xla(
-                yin, yout, vn, mask, neg_ok, neg_w
+                yin, yout, vn, mask, neg_ok, neg_w, bf16=matmul_bf16
             )
 
         # --- per-row accumulation cap (stability) ------------------------
@@ -636,6 +655,7 @@ class SkipGramTrainer:
                     use_pallas=cfg.use_pallas,
                     update_cap=cfg.update_cap,
                     sparse_cap=sparse_cap,
+                    matmul_bf16=cfg.matmul_bf16,
                 )
                 losses.append(l)
                 pairs_seen.append(p)

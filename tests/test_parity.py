@@ -115,7 +115,7 @@ def test_sgns_single_pair_matches_gensim_semantics():
         jax.random.PRNGKey(0), jnp.float32(lr), jnp.float32(lr),
         jnp.int32(0), jnp.float32(1.0),
         chunk_steps=1, block_walks=1, window=1, negative=1, k_shared=1,
-        neg_share_walks=1,
+        neg_share_walks=1, matmul_bf16=False,  # exact-f32 math check
     )
     assert float(pairs[0]) == 2.0  # (1->2) and (2->1)
 
