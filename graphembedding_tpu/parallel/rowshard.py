@@ -207,7 +207,7 @@ def rowsharded_sgns_chunk(
             )
 
             d_yin, d_yout, d_vn, loss_g = sgns_block_grads_xla(
-                yin, yout, vn, mask, neg_ok, neg_w, bf16=True
+                yin, yout, vn, mask, neg_ok, neg_w
             )
 
             # (grad, occupancy-weight) rows back to their owners —

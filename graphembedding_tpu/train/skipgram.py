@@ -88,9 +88,12 @@ class SkipGramConfig:
     # extra issues. auto picks by table size (see SkipGramTrainer.fit)
     use_pallas: bool = False  # fused Pallas compute kernel (see
     # ops.pallas_sgns) vs plain XLA einsums for the block gradients
-    matmul_bf16: bool = True  # run the six gradient einsums with
-    # bfloat16 operands + f32 accumulation (MXU native, 2x f32 rate);
-    # tables/updates stay f32. Wiki micro-F1 measured unchanged
+    matmul_bf16: bool = False  # run the six gradient einsums with
+    # bfloat16 operands + f32 accumulation. Measured a WASH at the
+    # default shapes (interleaved A/B: 83.8 vs 84.2M pairs/s — the
+    # einsums are fusion/bandwidth-bound, not FLOP-bound) with
+    # bit-identical wiki classifier predictions; kept as an option
+    # for larger D where the MXU rate starts to matter
     seed: int = 0
 
 
@@ -311,7 +314,7 @@ def sgns_block_chunk(
     use_pallas=False,
     update_cap=8.0,
     sparse_cap=False,
-    matmul_bf16=True,
+    matmul_bf16=False,
 ):
     """`chunk_steps` SGNS steps over consecutive walk blocks (one scan).
 
