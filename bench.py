@@ -77,6 +77,7 @@ def measure_tpu(n_warm=1, n_rep=3):
             chunk_steps=S, block_walks=Bw, window=cfg.window,
             negative=cfg.negative, k_shared=cfg.k_shared,
             neg_share_walks=cfg.neg_share_walks,
+            neg_share_packs=cfg.neg_share_packs,
         )
 
     w_in, w_out, l, pairs = chunk(w_in, w_out, 0)  # compile + warm

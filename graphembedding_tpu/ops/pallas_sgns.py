@@ -135,6 +135,11 @@ def sgns_block_grads_xla(yin, yout, vn, mask, neg_ok, neg_w,
                          bf16=False):
     """Reference XLA einsum path (identical math).
 
+    Shapes: yin/yout [G, PL, D], mask [G, PL, PL]; vn [G2, K, D] and
+    neg_ok [G2, (G//G2)*PL, K] where G2 divides G — when G2 < G,
+    consecutive packing groups share one negative set (see
+    train.skipgram `neg_share_packs`). Returns d_vn as [G2, K, D].
+
     bf16=True runs the six einsums with bfloat16 operands and f32
     accumulation (the MXU's native mode — 2x the f32 matmul rate);
     logits land in f32, so only the ~3-decimal-digit rounding of the
@@ -142,26 +147,36 @@ def sgns_block_grads_xla(yin, yout, vn, mask, neg_ok, neg_w,
     update stay f32.
     """
     cd = jnp.bfloat16 if bf16 else jnp.float32
+    G, PL, D = yin.shape
+    G2 = vn.shape[0]  # negative-sharing groups; r = G // G2 packing
+    # groups share each K-row negative set (halved/quartered negative
+    # row issues — the dominant kernel cost — at the price of r x the
+    # per-negative-row event weight, which the update cap bounds)
+    r = G // G2
     yin_c, yout_c, vn_c = yin.astype(cd), yout.astype(cd), vn.astype(cd)
     logits = jnp.einsum("gld,gmd->glm", yin_c, yout_c,
                         preferred_element_type=jnp.float32)
     g_pos = (jax.nn.sigmoid(logits) - 1.0) * mask
-    nlog = jnp.einsum("gld,gkd->glk", yin_c, vn_c,
+    yin_n = yin_c.reshape(G2, r * PL, D)
+    nlog = jnp.einsum("gld,gkd->glk", yin_n, vn_c,
                       preferred_element_type=jnp.float32)
     n_pairs = jnp.sum(mask, axis=2)
-    g_neg = jax.nn.sigmoid(nlog) * (n_pairs * neg_w)[:, :, None] * neg_ok
+    np_n = n_pairs.reshape(G2, r * PL)
+    g_neg = jax.nn.sigmoid(nlog) * (np_n * neg_w)[:, :, None] * neg_ok
     d_yin = jnp.einsum("glm,gmd->gld", g_pos.astype(cd), yout_c,
                        preferred_element_type=jnp.float32)
     d_yin = d_yin + jnp.einsum("glk,gkd->gld", g_neg.astype(cd), vn_c,
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32
+                               ).reshape(G, PL, D)
     d_yout = jnp.einsum("glm,gld->gmd", g_pos.astype(cd), yin_c,
                         preferred_element_type=jnp.float32)
-    d_vn = jnp.einsum("glk,gld->gkd", g_neg.astype(cd), yin_c,
+    d_vn = jnp.einsum("glk,gld->gkd", g_neg.astype(cd), yin_n,
                       preferred_element_type=jnp.float32)
     loss = -(
         jnp.sum(jnp.where(mask > 0, jax.nn.log_sigmoid(logits), 0.0)
                 * mask, axis=(1, 2))
         + jnp.sum(jax.nn.log_sigmoid(-nlog)
-                  * (n_pairs * neg_w)[:, :, None] * neg_ok, axis=(1, 2))
+                  * (np_n * neg_w)[:, :, None] * neg_ok,
+                  axis=(1, 2)).reshape(G2).repeat(r) / r
     )
     return d_yin, d_yout, d_vn, loss

@@ -59,6 +59,14 @@ class SkipGramConfig:
     window: int = 5
     negative: int = 5  # gensim-equivalent negatives per pair (expectation)
     k_shared: int = 64  # shared negative rows drawn per walk group
+    neg_share_packs: int = 4  # packing groups sharing one negative
+    # set: r>1 divides the negative row gathers/scatters (a large
+    # slice of the issue-bound kernel cost) by r, raising each
+    # negative row's per-step event weight r x (bounded by the update
+    # cap). Measured on wiki (one v5e chip, interleaved): 84.8 -> 93.3
+    # -> 105.4 M pairs/s at r=1/2/4, saturating past 4; micro-F1 over
+    # 4 seeds 0.9600 at r=4 vs 0.9595 baseline. r=8 dips to 0.9577 —
+    # default 4
     neg_share_walks: int = 8  # walks per negative-sharing group
     epochs: int = 5
     block_walks: int = 4032  # walks per step (Bw); large blocks amortize
@@ -287,6 +295,7 @@ def _prepare_epoch(walks, keep_tok, key):
         "negative",
         "k_shared",
         "neg_share_walks",
+        "neg_share_packs",
         "use_pallas",
         "update_cap",
         "sparse_cap",
@@ -311,6 +320,7 @@ def sgns_block_chunk(
     negative,
     k_shared,
     neg_share_walks,
+    neg_share_packs=1,
     use_pallas=False,
     update_cap=8.0,
     sparse_cap=False,
@@ -344,6 +354,10 @@ def sgns_block_chunk(
     # (the trainer pre-rounds; direct callers like bench.py may not)
     n_blocks = max(NW // Bw, 1)
     del neg_share_walks  # superseded by the packing group
+    nsp = max(int(neg_share_packs), 1)
+    while G % nsp:  # need whole sharing groups; fall back toward 1
+        nsp -= 1
+    G2 = G // nsp
 
     k1, k2 = jax.random.split(jax.random.fold_in(key, t0))
     # dynamic window shrink per center occurrence: eff in {1..W}
@@ -352,9 +366,9 @@ def sgns_block_chunk(
     ).astype(jnp.int32).clip(0, W - 1)
     # group-shared negatives: table lookup, no searchsorted
     neg_idx = jax.random.randint(
-        k2, (S, G, K), 0, neg_table.shape[0], dtype=jnp.int32
+        k2, (S, G2, K), 0, neg_table.shape[0], dtype=jnp.int32
     )
-    negs = neg_table[neg_idx]  # [S, G, K]
+    negs = neg_table[neg_idx]  # [S, G2, K]
     steps = t0 + jnp.arange(S, dtype=jnp.int32)
     lrs = jnp.maximum(
         min_alpha,
@@ -387,7 +401,7 @@ def sgns_block_chunk(
 
     def step(carry, xs):
         w_cat = carry
-        off, eff_b, neg, lr = xs  # eff_b: [G, PL], neg: [G, K]
+        off, eff_b, neg, lr = xs  # eff_b: [G, PL], neg: [G2, K]
 
         tok = jax.lax.dynamic_slice(walks, (off, 0), (Bw, L))
         tok = tok.reshape(G, PL)
@@ -397,7 +411,7 @@ def sgns_block_chunk(
         y = w_cat[tok_safe]  # [G, PL, 2D] — one gather for both tables
         yin = y[..., :D]
         yout = y[..., D:]
-        vn = w_cat[neg][..., D:]  # [G, K, D]
+        vn = w_cat[neg][..., D:]  # [G2, K, D]
 
         mask = (
             window_ok[None]
@@ -408,7 +422,8 @@ def sgns_block_chunk(
 
         n_pairs = jnp.sum(mask, axis=2)  # [G, PL]
         # skip negatives that equal the center (gensim's collision skip)
-        neg_ok = (neg[:, None, :] != tok_safe[:, :, None]).astype(
+        tok_n = tok_safe.reshape(G2, nsp * PL)
+        neg_ok = (neg[:, None, :] != tok_n[:, :, None]).astype(
             jnp.float32
         )
 
@@ -418,6 +433,10 @@ def sgns_block_chunk(
         )
 
         if use_pallas:
+            if nsp != 1:
+                raise NotImplementedError(
+                    "use_pallas requires neg_share_packs=1"
+                )
             d_yin, d_yout, d_vn, loss_g = sgns_block_grads_pallas(
                 yin, yout, vn, mask, neg_ok, float(negative) / K
             )
@@ -439,9 +458,13 @@ def sgns_block_chunk(
         flat = tok_safe.reshape(-1)
         nflat = neg.reshape(-1)
         # negative rows: accumulated event weight = n_pairs·neg_w summed
-        # over the group's centers (σ ≤ 1), plus cross-group collisions
+        # over the sharing group's centers (σ ≤ 1), plus cross-group
+        # collisions
         neg_weight = jnp.broadcast_to(
-            jnp.sum(n_pairs * neg_w, axis=1)[:, None], (G, K)
+            jnp.sum(
+                n_pairs.reshape(G2, nsp * PL) * neg_w, axis=1
+            )[:, None],
+            (G2, K),
         ).reshape(-1)
         if sparse_cap:
             # large-V path: no O(V·D) buffer. Occupancy first (two
@@ -467,7 +490,7 @@ def sgns_block_chunk(
             )
             d_neg_full = jnp.concatenate(
                 [
-                    jnp.zeros((G * K, D), jnp.float32),
+                    jnp.zeros((G2 * K, D), jnp.float32),
                     d_vn.reshape(-1, D) * neg_scale[:, None],
                 ],
                 axis=1,
@@ -655,6 +678,7 @@ class SkipGramTrainer:
                     negative=cfg.negative,
                     k_shared=min(cfg.k_shared, num_nodes),
                     neg_share_walks=cfg.neg_share_walks,
+                    neg_share_packs=cfg.neg_share_packs,
                     use_pallas=cfg.use_pallas,
                     update_cap=cfg.update_cap,
                     sparse_cap=sparse_cap,

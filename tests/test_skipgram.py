@@ -212,6 +212,41 @@ def test_subsample_keep_probs_word2vec_rule():
     assert subsample_keep_probs(counts, 0.0) is None
 
 
+def test_neg_share_packs_trains():
+    """nsp>1 shares one negative set across packing groups; training
+    still runs and reduces loss, and a non-divisible nsp falls back."""
+    rng = np.random.default_rng(1)
+    V, NW, L = 60, 512, 8
+    # structured corpus (two communities) so the loss can move
+    comm = rng.integers(0, 2, V)
+    walks = np.stack([
+        rng.choice(np.where(comm == rng.integers(0, 2))[0], size=L)
+        for _ in range(NW)
+    ]).astype(np.int32)
+    table = jnp.asarray(negative_table(corpus_counts(walks, V), size=2048))
+    w_in = (jax.random.uniform(jax.random.PRNGKey(0), (V, 16)) - 0.5) / 16
+    w_out = jnp.zeros((V, 16))
+    losses = []
+    for nsp in (2, 3):  # block 64 walks -> G=4 packs; nsp=3 falls to 2
+        wi, wo = jnp.array(w_in), jnp.array(w_out)
+        t = 0
+        ls = []
+        for c in range(4):
+            wi, wo, l, pairs = sgns_block_chunk(
+                wi, wo, jnp.asarray(walks), table,
+                jax.random.PRNGKey(1), jnp.float32(0.05),
+                jnp.float32(1e-4), jnp.int32(t), jnp.float32(4 * 16),
+                chunk_steps=16, block_walks=64, window=3, negative=5,
+                k_shared=16, neg_share_walks=8, neg_share_packs=nsp,
+            )
+            ls.append(np.asarray(l))
+            t += 16
+        ls = np.concatenate(ls)
+        assert np.isfinite(ls).all()
+        assert ls[-8:].mean() < ls[:8].mean()
+        losses.append(ls)
+
+
 def test_device_prep_matches_host_builders():
     """_device_prep reproduces the numpy negative table + keep probs."""
     from graphembedding_tpu.train.skipgram import (
