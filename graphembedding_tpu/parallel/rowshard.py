@@ -108,6 +108,7 @@ def rowsharded_sgns_chunk(
     negative,
     k_shared,
     update_cap=8.0,
+    neg_share_packs=4,
 ):
     """Build the jitted row-sharded chunk fn over `mesh`'s data axis.
 
@@ -145,14 +146,18 @@ def rowsharded_sgns_chunk(
         bw_used = G * Pk  # per-device walks actually trained per step
         global_bw = n * bw_used
         n_blocks = max(NW // global_bw, 1)
+        nsp = max(int(neg_share_packs), 1)
+        while G % nsp:  # whole sharing groups only; fall back toward 1
+            nsp -= 1
+        G2 = G // nsp  # negative-sharing groups (see train.skipgram)
 
         k1, k2 = jax.random.split(jax.random.fold_in(key, t0))
         eff = W - (
             jax.random.uniform(jax.random.fold_in(k1, di), (S, G, PL)) * W
         ).astype(jnp.int32).clip(0, W - 1)
         neg_idx = jax.random.randint(
-            jax.random.fold_in(k2, di), (S, G, K), 0, neg_table.shape[0],
-            dtype=jnp.int32,
+            jax.random.fold_in(k2, di), (S, G2, K), 0,
+            neg_table.shape[0], dtype=jnp.int32,
         )
         negs = neg_table[neg_idx]
         steps = t0 + jnp.arange(S, dtype=jnp.int32)
@@ -193,7 +198,7 @@ def rowsharded_sgns_chunk(
             y = rows[: G * PL].reshape(G, PL, C)
             yin = y[..., :D]
             yout = y[..., D:]
-            vn = rows[G * PL :, D:].reshape(G, K, D)
+            vn = rows[G * PL :, D:].reshape(G2, K, D)
 
             mask = (
                 window_ok[None]
@@ -202,7 +207,8 @@ def rowsharded_sgns_chunk(
                 & tok_ok[:, None, :]
             ).astype(jnp.float32)
             n_pairs = jnp.sum(mask, axis=2)
-            neg_ok = (neg[:, None, :] != tok_safe[:, :, None]).astype(
+            tok_n = tok_safe.reshape(G2, nsp * PL)
+            neg_ok = (neg[:, None, :] != tok_n[:, :, None]).astype(
                 jnp.float32
             )
 
@@ -233,7 +239,10 @@ def rowsharded_sgns_chunk(
             w_cat = w_cat + (-lr) * tbuf[:, :C] * tok_scale
 
             neg_weight = jnp.broadcast_to(
-                jnp.sum(n_pairs * neg_w, axis=1)[:, None], (G, K)
+                jnp.sum(
+                    n_pairs.reshape(G2, nsp * PL) * neg_w, axis=1
+                )[:, None],
+                (G2, K),
             ).reshape(-1)
             g_neg = jnp.concatenate(
                 [d_vn.reshape(-1, D), neg_weight[:, None]], axis=1

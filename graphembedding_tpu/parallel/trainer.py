@@ -101,6 +101,7 @@ class DistributedSkipGramTrainer:
                 window=cfg.window, negative=cfg.negative,
                 k_shared=min(cfg.k_shared, num_nodes),
                 update_cap=cfg.update_cap,
+                neg_share_packs=cfg.neg_share_packs,
             )
         else:
             from graphembedding_tpu.parallel.sgns import (
