@@ -44,8 +44,8 @@ def bench_one(V: int, NW: int, sparse: bool, reps: int = 3,
     w_out = jnp.zeros((V, D), jnp.float32)
     kw = dict(
         chunk_steps=64, block_walks=4032, window=5, negative=5,
-        k_shared=64, neg_share_walks=8, update_cap=8.0,
-        sparse_cap=sparse,
+        k_shared=64, neg_share_walks=8, neg_share_packs=4,
+        update_cap=8.0, sparse_cap=sparse,
     )
 
     def run(t0, w_in, w_out):

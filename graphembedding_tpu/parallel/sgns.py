@@ -44,6 +44,7 @@ def sharded_sgns_chunk(
     neg_share_walks=8,
     sync_every=None,
     update_cap=8.0,
+    neg_share_packs=4,
 ):
     """Build the jitted sharded chunk fn for a given mesh.
 
@@ -73,6 +74,10 @@ def sharded_sgns_chunk(
         G = bw_local // Pk
         PL = Pk * L
         bw_used = G * Pk
+        nsp = max(int(neg_share_packs), 1)
+        while G % nsp:  # whole sharing groups only; fall back toward 1
+            nsp -= 1
+        G2 = G // nsp  # negative-sharing groups (see train.skipgram)
 
         k1, k2 = jax.random.split(jax.random.fold_in(key, t0))
         eff = W - (
@@ -80,7 +85,7 @@ def sharded_sgns_chunk(
         ).astype(jnp.int32).clip(0, W - 1)
         k2 = jax.random.fold_in(k2, di)  # independent negs per shard
         neg_idx = jax.random.randint(
-            k2, (S, G, K), 0, neg_table.shape[0], dtype=jnp.int32
+            k2, (S, G2, K), 0, neg_table.shape[0], dtype=jnp.int32
         )
         negs = neg_table[neg_idx]
         steps = t0 + jnp.arange(S, dtype=jnp.int32)
@@ -104,7 +109,7 @@ def sharded_sgns_chunk(
 
         def one_step(carry, xs):
             w_cat = carry
-            off, eff_b, neg, lr, i = xs  # neg: [G, K]
+            off, eff_b, neg, lr, i = xs  # neg: [G2, K]
 
             tok = jax.lax.dynamic_slice(walks, (off, 0), (bw_used, L))
             tok = tok.reshape(G, PL)
@@ -114,7 +119,7 @@ def sharded_sgns_chunk(
             y = w_cat[tok_safe]  # [G, PL, 2Dl]
             yin = y[..., :Dl]
             yout = y[..., Dl:]
-            vn = w_cat[neg][..., Dl:]  # [G, K, Dl]
+            vn = w_cat[neg][..., Dl:]  # [G2, K, Dl]
 
             # partial logits over local columns; psum over model
             logits = jax.lax.psum(
@@ -122,8 +127,9 @@ def sharded_sgns_chunk(
                            preferred_element_type=jnp.float32),
                 "model",
             )
+            yin_n = yin.reshape(G2, nsp * PL, Dl)
             nlog = jax.lax.psum(
-                jnp.einsum("gld,gkd->glk", yin, vn,
+                jnp.einsum("gld,gkd->glk", yin_n, vn,
                            preferred_element_type=jnp.float32),
                 "model",
             )
@@ -135,12 +141,14 @@ def sharded_sgns_chunk(
             ).astype(jnp.float32)
             g_pos = (jax.nn.sigmoid(logits) - 1.0) * mask
             n_pairs = jnp.sum(mask, axis=2)
-            neg_ok = (neg[:, None, :] != tok_safe[:, :, None]).astype(
+            np_n = n_pairs.reshape(G2, nsp * PL)
+            tok_n = tok_safe.reshape(G2, nsp * PL)
+            neg_ok = (neg[:, None, :] != tok_n[:, :, None]).astype(
                 jnp.float32
             )
             g_neg = (
                 jax.nn.sigmoid(nlog)
-                * (n_pairs * neg_w)[:, :, None]
+                * (np_n * neg_w)[:, :, None]
                 * neg_ok
             )
 
@@ -149,10 +157,10 @@ def sharded_sgns_chunk(
             d_yin = d_yin + jnp.einsum(
                 "glk,gkd->gld", g_neg, vn,
                 preferred_element_type=jnp.float32,
-            )
+            ).reshape(G, PL, Dl)
             d_yout = jnp.einsum("glm,gld->gmd", g_pos, yin,
                                 preferred_element_type=jnp.float32)
-            d_vn = jnp.einsum("glk,gld->gkd", g_neg, yin,
+            d_vn = jnp.einsum("glk,gld->gkd", g_neg, yin_n,
                               preferred_element_type=jnp.float32)
 
             # per-row accumulation cap — see train.skipgram
@@ -174,7 +182,7 @@ def sharded_sgns_chunk(
             )[:, None]
             nflat = neg.reshape(-1)
             neg_weight = jnp.broadcast_to(
-                jnp.sum(n_pairs * neg_w, axis=1)[:, None], (G, K)
+                jnp.sum(np_n * neg_w, axis=1)[:, None], (G2, K)
             ).reshape(-1)
             d_neg = jnp.concatenate(
                 [d_vn.reshape(-1, Dl), neg_weight[:, None]], axis=1
@@ -202,7 +210,7 @@ def sharded_sgns_chunk(
             loss = -(
                 jnp.sum(jax.nn.log_sigmoid(logits) * mask)
                 + jnp.sum(jax.nn.log_sigmoid(-nlog)
-                          * (n_pairs * neg_w)[:, :, None] * neg_ok)
+                          * (np_n * neg_w)[:, :, None] * neg_ok)
             ) / n_tot
             return w_cat, loss
 

@@ -114,6 +114,7 @@ class DistributedSkipGramTrainer:
                 k_shared=min(cfg.k_shared, num_nodes),
                 neg_share_walks=cfg.neg_share_walks,
                 update_cap=cfg.update_cap,
+                neg_share_packs=cfg.neg_share_packs,
             )
 
         resume_step = 0
