@@ -169,28 +169,40 @@ class SDNE:
         A, L = self.A, self.L
 
         if batch_size >= V:
-            # full-batch: one [V,V] MXU matmul per step
-            @jax.jit
-            def epoch_full(params, opt_state):
-                (loss, aux), grads = grad_fn(
-                    params, A, L, alpha, beta, nu1, nu2
-                )
-                updates, opt_state = tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return params, opt_state, loss
+            # full-batch: one [V,V] MXU matmul per step. ALL epochs run
+            # inside one compiled scan — per-epoch dispatch through the
+            # device tunnel costs ~10-100 ms each, comparable to the
+            # epoch's own compute at wiki scale
+            @partial(jax.jit, static_argnames="n_epochs",
+                     donate_argnums=(0, 1))
+            def run_full(params, opt_state, A_d, L_d, n_epochs):
+                def step(carry, _):
+                    params, opt_state = carry
+                    (loss, aux), grads = grad_fn(
+                        params, A_d, L_d, alpha, beta, nu1, nu2
+                    )
+                    updates, opt_state = tx.update(
+                        grads, opt_state, params
+                    )
+                    params = optax.apply_updates(params, updates)
+                    return (params, opt_state), loss
 
-            losses = []
-            for _ in range(epochs):
-                self.params, opt_state, loss = epoch_full(
-                    self.params, opt_state
+                (params, opt_state), losses = jax.lax.scan(
+                    step, (params, opt_state), None, length=n_epochs
                 )
-                losses.append(loss)
-            self.losses = jnp.stack(losses)
+                return params, opt_state, losses
+
+            # A/L as device ARGUMENTS, not closure constants — 23 MB
+            # [V, V] constants baked into a scanned executable blew
+            # compile time up ~10x (measured)
+            self.params, opt_state, self.losses = run_full(
+                self.params, opt_state, jnp.asarray(A), jnp.asarray(L),
+                epochs
+            )
         else:
             steps = (V + batch_size - 1) // batch_size
 
-            @partial(jax.jit, donate_argnums=(0, 1))
-            def epoch_mini(params, opt_state, key):
+            def epoch_mini_body(params, opt_state, A_d, L_d, key):
                 perm = jax.random.permutation(key, V)
                 pad = steps * batch_size - V
                 idx_all = jnp.concatenate(
@@ -199,8 +211,8 @@ class SDNE:
 
                 def step(carry, idx):
                     params, opt_state = carry
-                    a_rows = A[idx]
-                    l_block = L[idx][:, idx]
+                    a_rows = A_d[idx]
+                    l_block = L_d[idx][:, idx]
                     (loss, aux), grads = grad_fn(
                         params, a_rows, l_block, alpha, beta, nu1, nu2
                     )
@@ -216,13 +228,30 @@ class SDNE:
                 return params, opt_state, losses
 
             key = jax.random.PRNGKey(self.seed + 2)
-            all_losses = []
-            for e in range(epochs):
-                self.params, opt_state, losses = epoch_mini(
-                    self.params, opt_state, jax.random.fold_in(key, e)
+            # run all epochs in one compiled call (outer scan over the
+            # per-epoch shuffle keys) — see the full-batch note
+            @partial(jax.jit, static_argnames="n_epochs",
+                     donate_argnums=(0, 1))
+            def run_mini(params, opt_state, A_d, L_d, key, n_epochs):
+                def epoch(carry, e):
+                    params, opt_state = carry
+                    params, opt_state, losses = epoch_mini_body(
+                        params, opt_state, A_d, L_d,
+                        jax.random.fold_in(key, e)
+                    )
+                    return (params, opt_state), losses
+
+                (params, opt_state), losses = jax.lax.scan(
+                    epoch, (params, opt_state),
+                    jnp.arange(n_epochs, dtype=jnp.int32),
                 )
-                all_losses.append(losses)
-            self.losses = jnp.concatenate(all_losses)
+                return params, opt_state, losses.reshape(-1)
+
+            # A/L as device args, not closure constants (see above)
+            self.params, opt_state, self.losses = run_mini(
+                self.params, opt_state, jnp.asarray(A), jnp.asarray(L),
+                key, epochs
+            )
         self._embeddings = None
         return self
 
@@ -302,20 +331,24 @@ class SDNE:
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-        @jax.jit
-        def train_step(params, opt_state):
-            (loss, aux), grads = grad_fn(params)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return params, opt_state, loss
+        @partial(jax.jit, static_argnames="n_epochs",
+                 donate_argnums=(0, 1))
+        def run_steps(params, opt_state, n_epochs):
+            def step(carry, _):
+                params, opt_state = carry
+                (loss, aux), grads = grad_fn(params)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
 
-        losses = []
-        for _ in range(epochs):
-            self.params, opt_state, loss = train_step(
-                self.params, opt_state
+            (params, opt_state), losses = jax.lax.scan(
+                step, (params, opt_state), None, length=n_epochs
             )
-            losses.append(loss)
-        self.losses = jnp.stack(losses)
+            return params, opt_state, losses
+
+        self.params, opt_state, self.losses = run_steps(
+            self.params, opt_state, epochs
+        )
         self._embeddings = None
         return self
 
