@@ -56,6 +56,15 @@ def test_line_end_to_end(small_sbm):
     assert f1 > 0.6, f1
 
 
+def test_line_shared_negatives(small_sbm):
+    """Optional grouped-shared-negative path trains to similar quality."""
+    m = LINE(small_sbm.graph, embedding_size=32, order="second",
+             k_shared=16)
+    m.train(batch_size=256, epochs=60)
+    f1 = microf1(small_sbm, m.get_embeddings())
+    assert f1 > 0.6, f1
+
+
 def test_line_orders(small_sbm):
     m = LINE(small_sbm.graph, embedding_size=16, order="all")
     m.train(batch_size=128, epochs=10)
