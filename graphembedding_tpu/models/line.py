@@ -197,12 +197,32 @@ def line_train(
     chunk_steps=512,
     k_shared=0,
     update_cap=8.0,
+    checkpoint_dir=None,
+    checkpoint_every=0,
 ):
-    """Full LINE run as a Python loop of fixed-size compiled chunks."""
+    """Full LINE run as a Python loop of fixed-size compiled chunks.
+
+    checkpoint_dir/-every: Orbax-checkpoint (emb, ctx, chunk) every N
+    chunks and resume from the latest checkpoint if present — the same
+    restartable loop as the skip-gram trainers (SURVEY.md §6). Chunk
+    RNG is keyed by the step counter, so a resumed run replays the
+    exact remaining schedule.
+    """
     n_chunks = max((n_steps + chunk_steps - 1) // chunk_steps, 1)
+    resume_chunk = 0
+    if checkpoint_dir:
+        from graphembedding_tpu.utils.checkpoint import try_restore
+
+        state = try_restore(checkpoint_dir, ("emb", "ctx", "chunk"))
+        if state is not None:
+            emb = jnp.asarray(state["emb"])
+            ctx = jnp.asarray(state["ctx"])
+            resume_chunk = int(state["chunk"])
     losses = []
     total_steps = jnp.float32(n_steps)
     for c in range(n_chunks):
+        if c < resume_chunk:
+            continue
         emb, ctx, l = line_train_chunk(
             emb,
             ctx,
@@ -223,6 +243,19 @@ def line_train(
             update_cap=update_cap,
         )
         losses.append(l)
+        if checkpoint_dir and checkpoint_every:
+            from graphembedding_tpu.utils.checkpoint import maybe_save
+
+            maybe_save(
+                checkpoint_dir, checkpoint_every, c + 1,
+                lambda: {
+                    "emb": np.asarray(emb),
+                    "ctx": np.asarray(ctx),
+                    "chunk": np.asarray(c + 1),
+                },
+            )
+    if not losses:  # fully resumed past the end
+        losses = [jnp.zeros((0,), jnp.float32)]
     return emb, ctx, jnp.concatenate(losses)
 
 
@@ -284,8 +317,13 @@ class LINE:
         self.losses = None
 
     def train(self, batch_size=1024, epochs=1, initial_lr=0.025,
-              verbose=0, times=1):
+              verbose=0, times=1, checkpoint_dir=None,
+              checkpoint_every=0):
+        """Reference signature plus checkpoint_dir/-every: Orbax
+        checkpoint + resume per trained order (suffixes '_first' /
+        '_second' under checkpoint_dir)."""
         del verbose
+        import os
         g = self.graph
         # reference steps/epoch: ceil(E*times*(1+neg_ratio)/batch) —
         # `times` multiplies per-epoch samples (`reset_training_config
@@ -315,6 +353,9 @@ class LINE:
                 order_first=True,
                 k_shared=min(self.k_shared, self.graph.num_nodes),
                 update_cap=self.update_cap,
+                checkpoint_dir=(os.path.join(checkpoint_dir, "first")
+                                if checkpoint_dir else None),
+                checkpoint_every=checkpoint_every,
             )
             self.losses = l1
         if self.order in ("second", "all"):
@@ -334,6 +375,9 @@ class LINE:
                 order_first=False,
                 k_shared=min(self.k_shared, self.graph.num_nodes),
                 update_cap=self.update_cap,
+                checkpoint_dir=(os.path.join(checkpoint_dir, "second")
+                                if checkpoint_dir else None),
+                checkpoint_every=checkpoint_every,
             )
             self.losses = l2
         self._embeddings = None

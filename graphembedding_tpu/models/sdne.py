@@ -155,8 +155,14 @@ class SDNE:
         return self._L
 
     def train(self, batch_size=1024, epochs=1, initial_epoch=0, verbose=0,
-              learning_rate=1e-3):
+              learning_rate=1e-3, checkpoint_dir=None,
+              checkpoint_every=0):
+        """Reference signature plus checkpoint_dir/-every: Orbax
+        checkpoint of (params, optimizer state, epoch) every N epochs
+        with resume — the epoch scan is chunked at the checkpoint
+        cadence (one compiled program per distinct chunk length)."""
         del initial_epoch, verbose
+        import numpy as _np
         V = self.graph.num_nodes
         tx = optax.adam(learning_rate)
         opt_state = tx.init(self.params)
@@ -195,10 +201,8 @@ class SDNE:
             # A/L as device ARGUMENTS, not closure constants — 23 MB
             # [V, V] constants baked into a scanned executable blew
             # compile time up ~10x (measured)
-            self.params, opt_state, self.losses = run_full(
-                self.params, opt_state, jnp.asarray(A), jnp.asarray(L),
-                epochs
-            )
+            def run_epochs(params, opt_state, A_d, L_d, start, n):
+                return run_full(params, opt_state, A_d, L_d, n)
         else:
             steps = (V + batch_size - 1) // batch_size
 
@@ -246,12 +250,61 @@ class SDNE:
                     jnp.arange(n_epochs, dtype=jnp.int32),
                 )
                 return params, opt_state, losses.reshape(-1)
+            # NOTE: run_mini is keyed per-chunk via fold_in(key, start)
+            # so resumed runs draw fresh (not replayed-from-0) shuffles
 
             # A/L as device args, not closure constants (see above)
-            self.params, opt_state, self.losses = run_mini(
-                self.params, opt_state, jnp.asarray(A), jnp.asarray(L),
-                key, epochs
+            def run_epochs(params, opt_state, A_d, L_d, start, n):
+                return run_mini(
+                    params, opt_state, A_d, L_d,
+                    jax.random.fold_in(key, start), n
+                )
+        # shared epoch loop: single scan when not checkpointing,
+        # chunked at the checkpoint cadence otherwise
+        from graphembedding_tpu.utils.checkpoint import (
+            load_state,
+            save_state,
+        )
+        import os
+
+        A_d, L_d = jnp.asarray(A), jnp.asarray(L)
+        start = 0
+        if checkpoint_dir and os.path.exists(
+            os.path.abspath(checkpoint_dir)
+        ):
+            template = {
+                "params": self.params,
+                "opt_state": opt_state,
+                "epoch": _np.asarray(0),
+            }
+            st = load_state(checkpoint_dir, template)
+            self.params = st["params"]
+            opt_state = st["opt_state"]
+            start = int(st["epoch"])
+        all_losses = []
+        chunk = (
+            checkpoint_every
+            if (checkpoint_dir and checkpoint_every)
+            else max(epochs - start, 1)
+        )
+        e = start
+        while e < epochs:
+            n = min(chunk, epochs - e)
+            self.params, opt_state, losses = run_epochs(
+                self.params, opt_state, A_d, L_d, e, n
             )
+            all_losses.append(losses)
+            e += n
+            if checkpoint_dir and checkpoint_every:
+                save_state(checkpoint_dir, {
+                    "params": self.params,
+                    "opt_state": opt_state,
+                    "epoch": _np.asarray(e),
+                })
+        self.losses = (
+            jnp.concatenate(all_losses) if all_losses
+            else jnp.zeros((0,), jnp.float32)
+        )
         self._embeddings = None
         return self
 

@@ -82,3 +82,47 @@ def test_trainer_metrics_integration(tmp_path):
     with MetricsLogger(path, quiet=True) as m:
         SkipGramTrainer(cfg).fit(walks, 20, metrics=m)
     assert os.path.getsize(path) > 0
+
+
+def test_line_checkpoint_resume(tmp_path):
+    from graphembedding_tpu.data.datasets import synthetic_wiki
+    from graphembedding_tpu.models import LINE
+
+    ds = synthetic_wiki(num_nodes=80, avg_degree=6)
+    ckpt = str(tmp_path / "line")
+    m = LINE(ds.graph, embedding_size=8, order="second", seed=3)
+    m.train(batch_size=64, epochs=20, checkpoint_dir=ckpt,
+            checkpoint_every=1)
+    n_full = int(np.asarray(m.losses).shape[0])
+    assert os.path.exists(os.path.join(ckpt, "second"))
+
+    # a fresh model resumes from the saved chunk and trains less
+    m2 = LINE(ds.graph, embedding_size=8, order="second", seed=3)
+    m2.train(batch_size=64, epochs=20, checkpoint_dir=ckpt,
+             checkpoint_every=0)
+    assert int(np.asarray(m2.losses).shape[0]) < n_full
+    assert np.isfinite(
+        next(iter(m2.get_embeddings().values()))
+    ).all()
+
+
+def test_sdne_checkpoint_resume(tmp_path):
+    from graphembedding_tpu.data.datasets import synthetic_wiki
+    from graphembedding_tpu.models import SDNE
+
+    ds = synthetic_wiki(num_nodes=60, avg_degree=5)
+    ckpt = str(tmp_path / "sdne")
+    m = SDNE(ds.graph, hidden_size=[16, 8])
+    m.train(batch_size=1024, epochs=6, checkpoint_dir=ckpt,
+            checkpoint_every=2)
+    assert int(np.asarray(m.losses).shape[0]) == 6
+
+    # fresh model resumes at epoch 6 -> zero additional epochs
+    m2 = SDNE(ds.graph, hidden_size=[16, 8])
+    m2.train(batch_size=1024, epochs=6, checkpoint_dir=ckpt,
+             checkpoint_every=2)
+    assert int(np.asarray(m2.losses).shape[0]) == 0
+    # and its restored params produce finite embeddings
+    assert np.isfinite(
+        next(iter(m2.get_embeddings().values()))
+    ).all()
