@@ -279,6 +279,21 @@ def test_device_prep_matches_host_builders():
     assert keep_none is None
 
 
+def test_inverse_cdf_table_edge_cases():
+    from graphembedding_tpu.train.skipgram import inverse_cdf_table
+
+    # all-zero weights: uniform fallback
+    t = np.asarray(inverse_cdf_table(jnp.zeros(4), 1 << 10))
+    freq = np.bincount(t, minlength=4) / t.shape[0]
+    np.testing.assert_allclose(freq, 0.25, atol=0.01)
+    # single node: every slot points at it
+    t1 = np.asarray(inverse_cdf_table(jnp.ones(1), 64))
+    assert (t1 == 0).all()
+    # one dominant weight owns almost all slots
+    t2 = np.asarray(inverse_cdf_table(jnp.asarray([1e-6, 1.0]), 1 << 12))
+    assert (t2 == 1).mean() > 0.99
+
+
 def test_subsample_walks_compacts_left():
     from graphembedding_tpu.train.skipgram import subsample_walks
 
