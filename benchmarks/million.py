@@ -15,6 +15,7 @@ from __future__ import annotations
 import argparse
 import json
 import time
+from functools import partial
 
 import jax
 import numpy as np
@@ -28,19 +29,52 @@ from graphembedding_tpu.train.skipgram import (
 
 
 def synthetic_graph(V: int, avg_degree: int, seed: int = 0) -> Graph:
-    """Ring (connectivity) + random edges with a mild hub skew."""
-    rng = np.random.default_rng(seed)
-    ring_src = np.arange(V, dtype=np.int64)
-    ring_dst = (ring_src + 1) % V
+    """Ring (connectivity) + random edges with a mild hub skew.
+
+    Generated and CSR-sorted ON DEVICE (one jitted program: edge RNG,
+    symmetrization, key sort, degree scatter) — this build host's
+    numpy runs ~100x below normal rates, so the host path costs ~20
+    minutes at 10M nodes vs seconds here; `Graph.from_csr` adopts the
+    sorted arrays without re-sorting.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnames=("V", "n_rand"))
+    def build(key, *, V, n_rand):
+        k1, k2 = jax.random.split(key)
+        ring_src = jnp.arange(V, dtype=jnp.int32)
+        ring_dst = (ring_src + 1) % V
+        src = jax.random.randint(k1, (n_rand,), 0, V, dtype=jnp.int32)
+        # quadratic skew toward low ids -> heavy-tailed degrees
+        dst = (
+            jax.random.uniform(k2, (n_rand,)) ** 2 * V
+        ).astype(jnp.int32) % V
+        s = jnp.concatenate([ring_src, src])
+        d = jnp.concatenate([ring_dst, dst])
+        # undirected: append reverses. Self-loops would double-count
+        # if reversed, but none exist by construction (ring edges
+        # never loop; random loops are remapped below), so the
+        # reverse list is exact.
+        loop = s == d
+        d = jnp.where(loop, (d + 1) % V, d)
+        s2 = jnp.concatenate([s, d])
+        d2 = jnp.concatenate([d, s])
+        # two-key lexicographic sort -> CSR with sorted in-row columns
+        s2, d2 = jax.lax.sort((s2, d2), num_keys=2)
+        counts = jnp.zeros((V,), jnp.int32).at[s2].add(1)
+        row_ptr = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32),
+             jnp.cumsum(counts).astype(jnp.int32)]
+        )
+        return row_ptr, d2
+
     n_rand = V * max(avg_degree - 2, 1) // 2
-    src = rng.integers(0, V, n_rand)
-    # quadratic skew toward low ids -> heavy-tailed degrees
-    dst = (rng.random(n_rand) ** 2 * V).astype(np.int64) % V
-    return Graph(
-        np.concatenate([ring_src, src]),
-        np.concatenate([ring_dst, dst]),
-        num_nodes=V,
-        directed=False,
+    row_ptr, col_idx = build(
+        jax.random.PRNGKey(seed), V=V, n_rand=n_rand
+    )
+    return Graph.from_csr(
+        np.asarray(row_ptr), np.asarray(col_idx), directed=False
     )
 
 
@@ -87,6 +121,10 @@ def main():
         "seconds_warm": round(t_walk, 2),
         "seconds_cold": round(t_cold, 2),
     }), flush=True)
+
+    # the fit never touches the graph — drop its ~1 GB of device CSR
+    # buffers so the table has the chip to itself
+    g.free_device()
 
     cfg = SkipGramConfig(epochs=args.epochs)
     trainer = SkipGramTrainer(cfg)

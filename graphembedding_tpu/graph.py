@@ -117,7 +117,13 @@ class Graph:
             num_nodes = int(max(src.max(initial=-1), dst.max(initial=-1)) + 1)
         self.num_nodes = int(num_nodes)
         self.directed = directed
-        self.vocab = vocab if vocab is not None else Vocab(range(self.num_nodes))
+        # lazy identity vocab by default: a materialized dict+list at
+        # 10M nodes costs minutes on host (see utils.vocab)
+        if vocab is None:
+            from graphembedding_tpu.utils.vocab import IdentityVocab
+
+            vocab = IdentityVocab(self.num_nodes)
+        self.vocab = vocab
 
         # CSR build: stable sort by (src, dst) so columns are sorted in-row.
         order = np.lexsort((dst, src))
@@ -167,6 +173,50 @@ class Graph:
         )
 
     @classmethod
+    def from_csr(
+        cls,
+        row_ptr: np.ndarray,
+        col_idx: np.ndarray,
+        edge_weight: Optional[np.ndarray] = None,
+        *,
+        vocab: Optional[Vocab] = None,
+        directed: bool = True,
+    ) -> "Graph":
+        """Adopt an already-built CSR without re-sorting on host.
+
+        For callers that construct the graph on DEVICE (e.g. the
+        synthetic scale benchmarks — this build host's numpy runs
+        ~100x below normal rates, so a 10M-node host CSR build costs
+        ~20 minutes vs seconds on the TPU). `col_idx` must be sorted
+        within each row; `directed` is metadata only (the CSR is
+        adopted as-is — pass both edge directions for an undirected
+        graph).
+        """
+        g = cls.__new__(cls)
+        row_ptr = np.asarray(row_ptr, dtype=np.int32)
+        g.num_nodes = int(row_ptr.shape[0] - 1)
+        g.directed = directed
+        if vocab is None:
+            from graphembedding_tpu.utils.vocab import IdentityVocab
+
+            vocab = IdentityVocab(g.num_nodes)
+        g.vocab = vocab
+        g.row_ptr = row_ptr
+        g.col_idx = np.asarray(col_idx, dtype=np.int32)
+        g.num_edges = int(g.col_idx.shape[0])
+        if edge_weight is None:
+            edge_weight = np.ones(g.num_edges, dtype=np.float32)
+        g.edge_weight = np.asarray(edge_weight, dtype=np.float32)
+        counts = np.diff(row_ptr)
+        g.degree = counts.astype(np.int32)
+        g.max_degree = int(counts.max(initial=0))
+        g._device = None
+        g._nbr_matrix = None
+        g._alias = None
+        g._host_alias = None
+        return g
+
+    @classmethod
     def from_edgelist(
         cls, path: str, *, directed: bool = True, weighted: bool = False
     ) -> "Graph":
@@ -195,6 +245,18 @@ class Graph:
     # ------------------------------------------------------------------ #
     # device views (lazy, cached)
     # ------------------------------------------------------------------ #
+
+    def free_device(self) -> None:
+        """Drop cached device views (rebuilt lazily on next use).
+
+        At 10M nodes the CSR+alias device buffers are ~1 GB of HBM a
+        training fit never touches — freeing them between the walk
+        phase and training is part of fitting 10 GB tables on one
+        chip.
+        """
+        self._device = None
+        self._nbr_matrix = None
+        self._alias = None
 
     @property
     def device(self) -> DeviceGraph:

@@ -301,11 +301,10 @@ def _prepare_epoch(walks, keep_tok, key):
         "sparse_cap",
         "matmul_bf16",
     ),
-    donate_argnums=(0, 1),
+    donate_argnums=(0,),
 )
-def sgns_block_chunk(
-    w_in,
-    w_out,
+def sgns_block_chunk_cat(
+    w_cat,
     walks,
     neg_table,
     key,
@@ -335,7 +334,8 @@ def sgns_block_chunk(
     """
     S, Bw, W, K = chunk_steps, block_walks, window, k_shared
     NW, L = walks.shape
-    V, D = w_in.shape
+    V, C = w_cat.shape
+    D = C // 2
     Bw = min(Bw, NW)  # direct callers may pass a block larger than the
     # corpus (the default is tuned for wiki scale); clamp before packing
 
@@ -397,7 +397,10 @@ def sgns_block_chunk(
     #     the cap is then applied as a dense rowwise multiply, exactly
     #     equivalent since the cap scale is constant per row.
     # Measured on one v5e chip (wiki, Bw=2016): 73M -> ~2x pairs/s.
-    w_cat = jnp.concatenate([w_in, w_out], axis=1)  # [V, 2D]
+    # The caller passes the fused [V, 2D] table directly: a per-chunk
+    # concatenate+split would transiently DOUBLE the table footprint
+    # (10 GB of HBM at 10M nodes — the difference between fitting and
+    # OOM on one chip).
 
     def step(carry, xs):
         w_cat = carry
@@ -539,12 +542,65 @@ def sgns_block_chunk(
     w_cat, (losses, pairs) = jax.lax.scan(
         step, w_cat, (offs, eff, negs, lrs)
     )
+    return w_cat, losses, pairs
+
+
+def sgns_block_chunk(w_in, w_out, walks, neg_table, key, alpha,
+                     min_alpha, t0, total_steps, **kw):
+    """Split-table wrapper over `sgns_block_chunk_cat`.
+
+    Kept for direct callers (bench.py, tests) at small V; the trainer
+    itself carries the fused [V, 2D] table across chunks and never
+    pays the concat/split copies.
+    """
+    w_cat = jnp.concatenate([jnp.asarray(w_in), jnp.asarray(w_out)],
+                            axis=1)
+    D = w_cat.shape[1] // 2
+    w_cat, losses, pairs = sgns_block_chunk_cat(
+        w_cat, walks, neg_table, key, alpha, min_alpha, t0,
+        total_steps, **kw
+    )
     return w_cat[:, :D], w_cat[:, D:], losses, pairs
 
 
 @partial(jax.jit, donate_argnums=())
 def _shuffle_walks(walks, key):
     return walks[jax.random.permutation(key, walks.shape[0])]
+
+
+@partial(jax.jit, static_argnames=("lo", "n", "embed_size"),
+         donate_argnums=(0,))
+def _fill_rows(w, key, lo, n, embed_size):
+    blk = (jax.random.uniform(key, (n, embed_size)) - 0.5) / embed_size
+    return jax.lax.dynamic_update_slice(
+        w, jnp.concatenate(
+            [blk, jnp.zeros((n, embed_size), jnp.float32)], axis=1
+        ), (lo, 0),
+    )
+
+
+@jax.jit
+def _prepare_epoch_regather(walks, keep, key):
+    """Per-epoch shuffle+subsample that re-gathers keep-probs.
+
+    Same semantics as `_prepare_epoch`, but reads keep[V] per token
+    instead of a pre-gathered per-token buffer. The hoisted buffer is
+    ~1.2 s/fit faster at 1M nodes, but at 10M nodes its [NW, L] f32
+    (plus the permuted copy inside the fused pass) is the difference
+    between fitting in HBM and OOM — the trainer switches on corpus
+    size.
+    """
+    kp, ks = jax.random.split(key)
+    perm = jax.random.permutation(kp, walks.shape[0])
+    w = walks[perm]
+    kprob = keep[jnp.maximum(w, 0)]
+    km = (w >= 0) & (jax.random.uniform(ks, w.shape) < kprob)
+    dropped = jnp.logical_not(km).astype(jnp.uint8)
+    _, out = jax.lax.sort(
+        (dropped, jnp.where(km, w, -1)),
+        dimension=1, is_stable=True, num_keys=1,
+    )
+    return out
 
 
 class SkipGramTrainer:
@@ -562,6 +618,24 @@ class SkipGramTrainer:
         w_out = jnp.zeros((num_nodes, cfg.embed_size), jnp.float32)
         return w_in, w_out
 
+    def _init_cat(self, num_nodes, key):
+        """Fused [V, 2D] table init — one allocation, no concat.
+
+        Filled in row blocks with donation so the peak is the table
+        plus one block-sized RNG temp (a whole-table uniform temp is
+        another V*D*4 bytes — 5 GB at 10M nodes, the difference
+        between fitting and OOM next to the 10 GB table itself).
+        """
+        D = self.config.embed_size
+        w = jnp.zeros((num_nodes, 2 * D), jnp.float32)
+        block = max(min(num_nodes, (1 << 27) // max(2 * D, 1)), 1)
+        for i, lo in enumerate(range(0, num_nodes, block)):
+            n = min(block, num_nodes - lo)
+            w = _fill_rows(
+                w, jax.random.fold_in(key, i), lo, n, D
+            )
+        return w
+
     def fit(self, walks, num_nodes, key=None, checkpoint_dir=None,
             checkpoint_every=0, metrics=None):
         """Train tables over the corpus; returns (w_in, w_out, losses).
@@ -575,19 +649,6 @@ class SkipGramTrainer:
         if key is None:
             key = jax.random.PRNGKey(cfg.seed)
         k_init, k_shuf, k_train, k_sub = jax.random.split(key, 4)
-        w_in, w_out = self.init_tables(num_nodes, k_init)
-
-        resume_step = 0
-        if checkpoint_dir:
-            from graphembedding_tpu.utils.checkpoint import try_restore
-
-            state = try_restore(
-                checkpoint_dir, ("w_in", "w_out", "step")
-            )
-            if state is not None:
-                w_in = jnp.asarray(state["w_in"])
-                w_out = jnp.asarray(state["w_out"])
-                resume_step = int(state["step"])
 
         walks = jnp.asarray(walks)
         NW, L = walks.shape
@@ -602,7 +663,11 @@ class SkipGramTrainer:
         # 4x blocks: at 1M nodes / 5M walks this measured 43.4M vs
         # 23.1M pairs/s on one v5e chip (bigger scatters pipeline row
         # issues better); small corpora keep the F1-validated default
-        if NW >= 256 * cfg.block_walks:
+        table_bytes = num_nodes * 2 * cfg.embed_size * 4
+        if NW >= 256 * cfg.block_walks and table_bytes <= (6 << 30):
+            # don't upscale blocks when the table already dominates
+            # HBM (10M nodes = 10 GB of 16): the 4x block's chunk
+            # temporaries are the difference between fitting and OOM
             bw_req = 4 * cfg.block_walks
         bw = min(bw_req, max(NW // 4, P))
         bw = max((bw // P) * P, P)
@@ -627,7 +692,31 @@ class SkipGramTrainer:
             exponent=cfg.ns_exponent,
             sample=cfg.sample,
         )
-        keep_tok = None if keep is None else _gather_keep(walks, keep)
+        # hoisted per-token keep buffer below ~512 MB, else re-gather
+        # per epoch (see _prepare_epoch_regather)
+        big_corpus = walks.size * 4 > (512 << 20)
+        keep_tok = (
+            None if (keep is None or big_corpus)
+            else _gather_keep(walks, keep)
+        )
+
+        # tables are allocated AFTER the corpus prep: at 10M nodes
+        # they are ~10 GB of the 16 GB HBM, and prep's whole-corpus
+        # temporaries only fit while the tables don't exist yet
+        w_cat = self._init_cat(num_nodes, k_init)
+        resume_step = 0
+        if checkpoint_dir:
+            from graphembedding_tpu.utils.checkpoint import try_restore
+
+            state = try_restore(
+                checkpoint_dir, ("w_in", "w_out", "step")
+            )
+            if state is not None:
+                w_cat = jnp.concatenate(
+                    [jnp.asarray(state["w_in"]),
+                     jnp.asarray(state["w_out"])], axis=1
+                )
+                resume_step = int(state["step"])
 
         if cfg.cap_mode == "auto":
             # dense cap passes stream ~3.5 × V×(2D+1) f32 per step;
@@ -654,6 +743,10 @@ class SkipGramTrainer:
                 shuffled = _prepare_epoch(
                     walks, keep_tok, jax.random.fold_in(k_sub, epoch)
                 )
+            elif keep is not None:
+                shuffled = _prepare_epoch_regather(
+                    walks, keep, jax.random.fold_in(k_sub, epoch)
+                )
             else:
                 shuffled = _shuffle_walks(
                     walks, jax.random.fold_in(k_shuf, epoch)
@@ -662,9 +755,8 @@ class SkipGramTrainer:
                 if t < resume_step:
                     t += cfg.chunk_steps
                     continue
-                w_in, w_out, l, p = sgns_block_chunk(
-                    w_in,
-                    w_out,
+                w_cat, l, p = sgns_block_chunk_cat(
+                    w_cat,
                     shuffled,
                     table,
                     k_train,
@@ -698,11 +790,12 @@ class SkipGramTrainer:
                         maybe_save,
                     )
 
+                    D = cfg.embed_size
                     maybe_save(
                         checkpoint_dir, checkpoint_every, n_chunk_calls,
                         lambda: {
-                            "w_in": np.asarray(w_in),
-                            "w_out": np.asarray(w_out),
+                            "w_in": np.asarray(w_cat[:, :D]),
+                            "w_out": np.asarray(w_cat[:, D:]),
                             "step": np.asarray(t),
                         },
                     )
@@ -714,4 +807,13 @@ class SkipGramTrainer:
             float(jnp.concatenate(pairs_seen).sum()) if pairs_seen
             else 0.0
         )
-        return w_in, w_out, jnp.concatenate(losses)
+        D = cfg.embed_size
+        if w_cat.size * 4 > (2 << 30):
+            # huge tables: splitting on device would transiently hold
+            # w_cat + BOTH half-copies (20 GB at 10M nodes — OOM);
+            # pull each half to host sequentially instead (peak =
+            # w_cat + one half). Callers np.asarray the result anyway.
+            w_in = np.asarray(w_cat[:, :D])
+            w_out = np.asarray(w_cat[:, D:])
+            return w_in, w_out, jnp.concatenate(losses)
+        return w_cat[:, :D], w_cat[:, D:], jnp.concatenate(losses)
