@@ -71,8 +71,9 @@ def line_train_chunk(
     as the per-pair draws at (B/neg_group)*K negative rows per step
     instead of B*negative (the dominant row-issue cost; see
     train.skipgram's negative sharing). Group size is chosen so the
-    per-row accumulated event weight (neg_group*negative/K) stays at
-    ~`negative` sequential-update magnitudes — step-wide sharing
+    per-row accumulated event weight (neg_group*negative/K ~= 1 at
+    the default shapes) stays at about one sequential-update
+    magnitude — step-wide sharing
     (weight ~80 with the cap compressing negatives 10x while
     positives run uncapped) measured a micro-F1 collapse 0.76 -> 0.57
     on wiki. `update_cap` still guards the tail. k_shared=0 (default)
@@ -86,7 +87,10 @@ def line_train_chunk(
     S, B, K = chunk_steps, batch_size, negative
     K2 = k_shared
     if K2:
-        # pairs per shared-negative set: weight/row = NG*K/K2 ~ K
+        # pairs per shared-negative set: per-row accumulated event
+        # weight = NG*(K/K2) ~= 1 with NG = K2//K — each shared row
+        # moves about one sequential-update magnitude per step, so
+        # the cap below is pure tail insurance
         NG = max(min(K2 // max(K, 1), B), 1)
         while B % NG:
             NG -= 1
@@ -138,7 +142,7 @@ def line_train_chunk(
             d_u = g_pos[:, None] * v + jnp.einsum(
                 "gbk,gkd->gbd", g_neg, vn
             ).reshape(B, -1)
-            # per-row accumulated event weight is NG*w (~negative by
+            # per-row accumulated event weight is NG*w (~1 by
             # construction); the cap only guards the tail
             scale = jnp.minimum(
                 1.0, update_cap / jnp.maximum(NG * w, 1.0)
@@ -320,8 +324,8 @@ class LINE:
               verbose=0, times=1, checkpoint_dir=None,
               checkpoint_every=0):
         """Reference signature plus checkpoint_dir/-every: Orbax
-        checkpoint + resume per trained order (suffixes '_first' /
-        '_second' under checkpoint_dir)."""
+        checkpoint + resume per trained order (subdirectories
+        'first' / 'second' under checkpoint_dir)."""
         del verbose
         import os
         g = self.graph

@@ -263,6 +263,22 @@ def _gather_keep(walks, keep):
     return keep[jnp.maximum(walks, 0)]
 
 
+def _subsample_compact(w, kprob, ks):
+    """Drop tokens i.i.d. by kprob and left-compact each walk.
+
+    Shared body of both per-epoch prep variants — the gensim-parity
+    semantics (keyed stable sort so windows span dropped tokens,
+    -1 pads) must stay bit-identical between them.
+    """
+    km = (w >= 0) & (jax.random.uniform(ks, w.shape) < kprob)
+    dropped = jnp.logical_not(km).astype(jnp.uint8)
+    _, out = jax.lax.sort(
+        (dropped, jnp.where(km, w, -1)),
+        dimension=1, is_stable=True, num_keys=1,
+    )
+    return out
+
+
 @jax.jit
 def _prepare_epoch(walks, keep_tok, key):
     """Fused per-epoch corpus pass: shuffle + subsample + compact.
@@ -275,15 +291,7 @@ def _prepare_epoch(walks, keep_tok, key):
     """
     kp, ks = jax.random.split(key)
     perm = jax.random.permutation(kp, walks.shape[0])
-    w = walks[perm]
-    kprob = keep_tok[perm]
-    km = (w >= 0) & (jax.random.uniform(ks, w.shape) < kprob)
-    dropped = jnp.logical_not(km).astype(jnp.uint8)
-    _, out = jax.lax.sort(
-        (dropped, jnp.where(km, w, -1)),
-        dimension=1, is_stable=True, num_keys=1,
-    )
-    return out
+    return _subsample_compact(walks[perm], keep_tok[perm], ks)
 
 
 @partial(
@@ -568,9 +576,12 @@ def _shuffle_walks(walks, key):
     return walks[jax.random.permutation(key, walks.shape[0])]
 
 
-@partial(jax.jit, static_argnames=("lo", "n", "embed_size"),
+@partial(jax.jit, static_argnames=("n", "embed_size"),
          donate_argnums=(0,))
 def _fill_rows(w, key, lo, n, embed_size):
+    # lo is TRACED (dynamic_update_slice takes dynamic starts): only
+    # the block shape keys the compile cache, so the init compiles at
+    # most twice (full blocks + remainder) however many blocks run
     blk = (jax.random.uniform(key, (n, embed_size)) - 0.5) / embed_size
     return jax.lax.dynamic_update_slice(
         w, jnp.concatenate(
@@ -593,14 +604,7 @@ def _prepare_epoch_regather(walks, keep, key):
     kp, ks = jax.random.split(key)
     perm = jax.random.permutation(kp, walks.shape[0])
     w = walks[perm]
-    kprob = keep[jnp.maximum(w, 0)]
-    km = (w >= 0) & (jax.random.uniform(ks, w.shape) < kprob)
-    dropped = jnp.logical_not(km).astype(jnp.uint8)
-    _, out = jax.lax.sort(
-        (dropped, jnp.where(km, w, -1)),
-        dimension=1, is_stable=True, num_keys=1,
-    )
-    return out
+    return _subsample_compact(w, keep[jnp.maximum(w, 0)], ks)
 
 
 class SkipGramTrainer:
@@ -632,7 +636,7 @@ class SkipGramTrainer:
         for i, lo in enumerate(range(0, num_nodes, block)):
             n = min(block, num_nodes - lo)
             w = _fill_rows(
-                w, jax.random.fold_in(key, i), lo, n, D
+                w, jax.random.fold_in(key, i), jnp.int32(lo), n, D
             )
         return w
 
@@ -702,9 +706,12 @@ class SkipGramTrainer:
 
         # tables are allocated AFTER the corpus prep: at 10M nodes
         # they are ~10 GB of the 16 GB HBM, and prep's whole-corpus
-        # temporaries only fit while the tables don't exist yet
-        w_cat = self._init_cat(num_nodes, k_init)
+        # temporaries only fit while the tables don't exist yet.
+        # Restore is checked FIRST so a resume never also builds the
+        # init table (init + two uploaded halves + device concat would
+        # peak ~3x the table)
         resume_step = 0
+        w_cat = None
         if checkpoint_dir:
             from graphembedding_tpu.utils.checkpoint import try_restore
 
@@ -712,11 +719,14 @@ class SkipGramTrainer:
                 checkpoint_dir, ("w_in", "w_out", "step")
             )
             if state is not None:
-                w_cat = jnp.concatenate(
-                    [jnp.asarray(state["w_in"]),
-                     jnp.asarray(state["w_out"])], axis=1
-                )
+                # concat on HOST, upload once: device peak = one table
+                w_cat = jnp.asarray(np.concatenate(
+                    [np.asarray(state["w_in"]),
+                     np.asarray(state["w_out"])], axis=1,
+                ))
                 resume_step = int(state["step"])
+        if w_cat is None:
+            w_cat = self._init_cat(num_nodes, k_init)
 
         if cfg.cap_mode == "auto":
             # dense cap passes stream ~3.5 × V×(2D+1) f32 per step;

@@ -52,9 +52,11 @@ class IdentityVocab:
     The default for integer graphs built without names: materializing
     a 10M-entry Python dict + list costs minutes and GBs
     (`Vocab(range(2M))` measured 43 s in this environment) for a
-    mapping that is the identity. `idx2node` is a `range`, so
-    `vocab.idx2node[i]`, `len`, and iteration all work; lookups
-    validate bounds like a real vocab would.
+    mapping that is the identity. `idx2node` is a `range` and
+    `node2idx` is the vocab itself (it implements the mapping
+    protocol), so `vocab.idx2node[i]`, `vocab.node2idx[n]`, `len`,
+    `in`, and iteration all behave like the dict-backed `Vocab`;
+    lookups validate bounds and accept numpy integer ids.
     """
 
     __slots__ = ("idx2node",)
@@ -62,16 +64,39 @@ class IdentityVocab:
     def __init__(self, num_nodes: int):  # noqa: D107
         self.idx2node = range(num_nodes)
 
+    @property
+    def node2idx(self) -> "IdentityVocab":
+        return self
+
     def __len__(self) -> int:
         return len(self.idx2node)
 
+    @staticmethod
+    def _as_index(node):
+        import numpy as _np
+
+        if isinstance(node, bool) or not isinstance(
+            node, (int, _np.integer)
+        ):
+            return None
+        return int(node)
+
     def __contains__(self, node) -> bool:
-        return isinstance(node, int) and 0 <= node < len(self.idx2node)
+        i = self._as_index(node)
+        return i is not None and 0 <= i < len(self.idx2node)
 
     def __getitem__(self, node) -> int:
         if node not in self:
             raise KeyError(node)
-        return node
+        return int(node)
+
+    def add(self, node) -> int:
+        """Identity vocab is fixed-size: known ids return themselves."""
+        if node not in self:
+            raise KeyError(
+                f"IdentityVocab({len(self.idx2node)}) cannot add {node!r}"
+            )
+        return int(node)
 
     def names(self, indices: Iterable[int]) -> List:
         n = len(self.idx2node)
@@ -79,7 +104,7 @@ class IdentityVocab:
         for i in indices:
             if not 0 <= i < n:
                 raise IndexError(i)
-            out.append(i)
+            out.append(int(i))
         return out
 
 
