@@ -153,6 +153,46 @@ def main():
     rows.append(row)
     print(json.dumps(row))
 
+    # distributed walk engine (edge-partitioned CSR + bucketed
+    # all_to_all walker routing): walked-edges/s at 1..N devices —
+    # the BASELINE edges/s scaling deliverable. WEAK scaling (walkers
+    # per device held constant), like the training rows: the virtual
+    # CPU mesh time-shares one set of physical cores, so
+    # strong-scaling wall times cannot improve there and only weak
+    # scaling exposes the routing overhead the harness exists to
+    # validate. On a real slice both framings run unchanged.
+    from graphembedding_tpu.parallel.walks import (
+        simulate_walks_distributed,
+    )
+
+    base_rate = None
+    for n in sizes:
+        mesh = make_mesh((n, 1), devices=jax.devices()[:n])
+        nw = 5 * n  # walkers/device constant
+        # warm/compile
+        w, ov = simulate_walks_distributed(
+            g, mesh, nw, args.length, jax.random.PRNGKey(3)
+        )
+        t0 = time.time()
+        w, ov = simulate_walks_distributed(
+            g, mesh, nw, args.length, jax.random.PRNGKey(4)
+        )
+        dt = time.time() - t0
+        edges = int(np.sum(np.asarray(w) >= 0) - w.shape[0])
+        rate = edges / dt
+        if base_rate is None:
+            base_rate = rate
+        row = {
+            "devices": n,
+            "mode": "distributed_walks_weak",
+            "walked_edges_per_s": round(rate),
+            "scaling_efficiency": round(rate / (base_rate * n), 3),
+            "overflow": ov,
+            "seconds": round(dt, 3),
+        }
+        rows.append(row)
+        print(json.dumps(row))
+
     if args.out:
         with open(args.out, "w") as f:
             for r in rows:
