@@ -410,19 +410,20 @@ def sgns_block_chunk_cat(
     # (10 GB of HBM at 10M nodes — the difference between fitting and
     # OOM on one chip).
 
-    def step(carry, xs):
-        w_cat = carry
-        off, eff_b, neg, lr = xs  # eff_b: [G, PL], neg: [G2, K]
-
+    def gather_block(wc, off, neg):
+        """Token + negative rows for the block at `off` from table `wc`."""
         tok = jax.lax.dynamic_slice(walks, (off, 0), (Bw, L))
         tok = tok.reshape(G, PL)
+        y = wc[jnp.where(tok >= 0, tok, 0)]  # [G, PL, 2D] — one gather
+        vn = wc[neg][..., D:]  # [G2, K, D]
+        return tok, y, vn
+
+    def apply_block(w_cat, tok, y, vn, eff_b, neg, lr):
+        # eff_b: [G, PL], neg: [G2, K]
         tok_ok = tok >= 0
         tok_safe = jnp.where(tok_ok, tok, 0)
-
-        y = w_cat[tok_safe]  # [G, PL, 2D] — one gather for both tables
         yin = y[..., :D]
         yout = y[..., D:]
-        vn = w_cat[neg][..., D:]  # [G2, K, D]
 
         mask = (
             window_ok[None]
@@ -545,6 +546,15 @@ def sgns_block_chunk_cat(
         n_tot = jnp.maximum(jnp.sum(mask), 1.0)
         loss = jnp.sum(loss_g) / n_tot
         pairs = jnp.sum(mask)
+        return w_cat, loss, pairs
+
+    def step(carry, xs):
+        w_cat = carry
+        off, eff_b, neg, lr = xs
+        tok, y, vn = gather_block(w_cat, off, neg)
+        w_cat, loss, pairs = apply_block(
+            w_cat, tok, y, vn, eff_b, neg, lr
+        )
         return w_cat, (loss, pairs)
 
     w_cat, (losses, pairs) = jax.lax.scan(
