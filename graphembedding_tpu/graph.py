@@ -20,7 +20,7 @@ design is TPU-first rather than a translation:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np

@@ -27,7 +27,6 @@ is validated on the 8-device CPU mesh in tests.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -157,26 +157,33 @@ def hs_block_chunk(
             & tok_ok[:, None, :]
         ).astype(jnp.float32)  # [G, PL(center l), PL(context m)]
 
-        # logits for every (center l, context m, tree level t)
+        # logits for every (center l, context m, tree level t), with
+        # (m, t) FLATTENED to one n = m*T + t axis: a T-minor tensor
+        # (depth ~13-19) pads its (8, 128) lane tiles to 128 wherever
+        # XLA materializes it; n ≈ PL·T pads to within ~1% (measured
+        # 2.4 -> 2.0 ms/step at wiki vocab, T=19, Bw=504)
+        N = PL * T
+        ptv_n = ptv.reshape(G, N, D)
         logits = jnp.einsum(
-            "gld,gmtd->glmt", yin, ptv,
+            "gld,gnd->gln", yin, ptv_n,
             preferred_element_type=jnp.float32,
         )
         label = 1.0 - cds  # [G, PL, T]
+        gate_n = (  # context-path validity, broadcast over centers
+            mask[:, :, :, None] * pts_ok[:, None, :, :]
+        ).reshape(G, PL, N)
         gmat = (
-            (label[:, None, :, :] - jax.nn.sigmoid(logits))
-            * mask[:, :, :, None]
-            * pts_ok[:, None, :, :]
-        )  # [G, l, m, t]
+            label.reshape(G, 1, N) - jax.nn.sigmoid(logits)
+        ) * gate_n  # [G, l, n]
 
         d_yin = jnp.einsum(
-            "glmt,gmtd->gld", gmat, ptv,
+            "gln,gnd->gld", gmat, ptv_n,
             preferred_element_type=jnp.float32,
         )
         d_tree = jnp.einsum(
-            "glmt,gld->gmtd", gmat, yin,
+            "gln,gld->gnd", gmat, yin,
             preferred_element_type=jnp.float32,
-        )  # per (context m, level t)
+        ).reshape(G, PL, T, D)  # per (context m, level t)
 
         # per-row accumulation cap, with occupancy counts riding the
         # gradient scatter as an extra column (one scatter round instead
@@ -208,11 +215,9 @@ def hs_block_chunk(
         w_tree = w_tree + lr * rbuf[:, :D] * tree_scale
 
         # loss: -log sigmoid((2·label - 1) · logit) summed over path
-        sgn = 2.0 * label[:, None, :, :] - 1.0
+        sgn = 2.0 * label.reshape(G, 1, N) - 1.0
         ll = jax.nn.log_sigmoid(sgn * logits)
-        loss = -jnp.sum(
-            ll * mask[:, :, :, None] * pts_ok[:, None, :, :]
-        ) / jnp.maximum(jnp.sum(mask), 1.0)
+        loss = -jnp.sum(ll * gate_n) / jnp.maximum(jnp.sum(mask), 1.0)
         return (w_in, w_tree), loss
 
     (w_in, w_tree), losses = jax.lax.scan(

@@ -1,8 +1,6 @@
 import os
 
-import jax
 import numpy as np
-import pytest
 
 from graphembedding_tpu.train.skipgram import SkipGramConfig, SkipGramTrainer
 from graphembedding_tpu.utils.checkpoint import (

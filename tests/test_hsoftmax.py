@@ -1,13 +1,11 @@
 import heapq
 
-import jax
 import numpy as np
 import pytest
 
 from graphembedding_tpu.train.hsoftmax import (
     HSTrainer,
     build_huffman,
-    hs_block_chunk,
 )
 
 

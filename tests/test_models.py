@@ -4,7 +4,6 @@ Mirrors the reference's de-facto integration testing (examples ending in
 micro-F1, SURVEY.md §5) at a size that runs in seconds.
 """
 
-import jax
 import numpy as np
 import pytest
 

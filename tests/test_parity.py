@@ -12,7 +12,7 @@ import numpy as np
 
 from graphembedding_tpu.data.datasets import synthetic_wiki
 from graphembedding_tpu.models import LINE, SDNE
-from graphembedding_tpu.models.sdne import encode, mlp_activations, sdne_loss
+from graphembedding_tpu.models.sdne import mlp_activations, sdne_loss
 from graphembedding_tpu.parity import reference as ref
 from graphembedding_tpu.train.skipgram import sgns_block_chunk
 

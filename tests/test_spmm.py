@@ -1,6 +1,5 @@
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from graphembedding_tpu.data.datasets import synthetic_wiki
 from graphembedding_tpu.graph import Graph
