@@ -78,9 +78,9 @@ def report(name, ds, results, t_train, args):
             f"{k}={v:.4f}" for k, v in results.items()))
 
 
-def run(name, dataset_default, build_and_train):
+def run(name, dataset_default, build_and_train, parser=None):
     """Generic example main: parse args -> train -> evaluate -> plot."""
-    args = make_parser(name, dataset_default).parse_args()
+    args = (parser or make_parser(name, dataset_default)).parse_args()
     ds = load_dataset(args.dataset)
     t0 = time.time()
     model = build_and_train(ds, args)

@@ -12,6 +12,7 @@ EXAMPLES = [
     "deepwalk_wiki.py",
     "node2vec_wiki.py",
     "line_wiki.py",
+    "line_blogcatalog.py",
     "sdne_wiki.py",
     "struc2vec_flight.py",
 ]
