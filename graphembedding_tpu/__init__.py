@@ -20,6 +20,10 @@ walkers in lockstep, and skip-gram/LINE/SDNE train as jit-compiled XLA (and
 Pallas) programs sharded over a `jax.sharding.Mesh`.
 """
 
+from graphembedding_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 from graphembedding_tpu.graph import Graph
 from graphembedding_tpu.models import LINE, SDNE, DeepWalk, Node2Vec, Struc2Vec
 from graphembedding_tpu.walker import BiasedWalker, RandomWalker
