@@ -99,7 +99,18 @@ def measure_tpu(n_warm=1, n_rep=3):
         times.append(time.time() - t0)
         pair_counts.append(total_pairs)
     pairs_per_s = pair_counts[int(np.argmin(times))] / min(times)
-    return walk_eps, pairs_per_s
+
+    # ---- end-to-end quality (micro-F1 on the canonical eval) -------------
+    from graphembedding_tpu.eval.classify import Classifier
+
+    trainer_f1 = SkipGramTrainer(SkipGramConfig(epochs=3))
+    w_in_f1, _, _ = trainer_f1.fit(walks, g.num_nodes, jax.random.PRNGKey(3))
+    table_np = np.asarray(w_in_f1)
+    emb = {
+        g.vocab.idx2node[i]: table_np[i] for i in range(g.num_nodes)
+    }
+    res = Classifier(emb).split_train_evaluate(ds.X, ds.Y, 0.8, seed=0)
+    return walk_eps, pairs_per_s, res["micro"]
 
 
 def measure_cpu_baseline(max_seconds=20.0):
@@ -138,7 +149,7 @@ def measure_cpu_baseline(max_seconds=20.0):
 
 
 def main():
-    walk_eps, pairs_per_s = measure_tpu()
+    walk_eps, pairs_per_s, micro_f1 = measure_tpu()
     baseline = measure_cpu_baseline()
     print(
         json.dumps(
@@ -150,6 +161,7 @@ def main():
                 "extras": {
                     "walked_edges_per_s": round(walk_eps),
                     "cpu_baseline_pairs_per_s": round(baseline),
+                    "wiki_micro_f1": round(float(micro_f1), 4),
                 },
             }
         )

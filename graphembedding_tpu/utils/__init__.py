@@ -1,3 +1,9 @@
+from graphembedding_tpu.utils.io import (
+    load_npz,
+    load_word2vec_format,
+    save_npz,
+    save_word2vec_format,
+)
 from graphembedding_tpu.utils.vocab import (
     Vocab,
     partition_dict,
@@ -8,6 +14,10 @@ from graphembedding_tpu.utils.vocab import (
 
 __all__ = [
     "Vocab",
+    "save_word2vec_format",
+    "load_word2vec_format",
+    "save_npz",
+    "load_npz",
     "preprocess_nxgraph",
     "partition_dict",
     "partition_list",
