@@ -62,17 +62,12 @@ class WalkEmbeddingModel:
     ):
         del workers, kwargs
         if hs:
-            if mesh is not None:
-                raise NotImplementedError(
-                    "hs=1 has no distributed trainer yet; pass hs=0 "
-                    "to train over a mesh, or drop mesh="
-                )
             from graphembedding_tpu.train.hsoftmax import HSTrainer
 
             trainer = HSTrainer(
                 embed_size=embed_size, window=window_size, epochs=iter,
                 alpha=alpha, min_alpha=min_alpha, sample=sample,
-                seed=self.seed,
+                seed=self.seed, mesh=mesh,
             )
             self.w_in, self.w_out, self.losses = trainer.fit(
                 self.walks, self.graph.num_nodes,

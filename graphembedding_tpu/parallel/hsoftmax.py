@@ -1,0 +1,208 @@
+"""Sharded hierarchical-softmax training step: DP over walk blocks × TP
+over the embedding dimension.
+
+Closes the hs=1 + mesh gap: the reference's exact DeepWalk/Struc2Vec
+objective (`Word2Vec(sg=1, hs=1)`, SURVEY.md §9) previously trained
+single-chip only. Mapping to the mesh mirrors `parallel/sgns.py`:
+
+- **model axis (TP, exact):** `w_in` [V, D/tp] and the inner-node table
+  `w_tree` [V-1, D/tp] are column-sharded. The (center, context-path)
+  logits need full-D dots, so each device computes partial
+  `[G, PL, PL·T]` logits and a `psum` over `model` completes them — the
+  only TP communication. Gradient outer products then use full logits
+  with local columns, so updates are exact and local.
+
+- **data axis (DP, hogwild-style):** each data group consumes a
+  different slice of the walk block and updates its own table replica;
+  replicas are averaged with `pmean` at chunk boundaries (every
+  `sync_every` steps) — the same staleness trade the reference's
+  gensim hogwild threads make, validated in tests/test_parallel.py.
+
+The per-device compute body is `train.hsoftmax.hs_block_chunk`'s packed
+walk-block formulation (P=128//L walks per MXU tile, flattened
+(context, tree-level) logits axis, per-row update caps); see that
+module for the layout rationale.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+
+def sharded_hs_chunk(
+    mesh,
+    *,
+    chunk_steps,
+    block_walks,
+    window,
+    update_cap=8.0,
+    sync_every=None,
+):
+    """Build the jitted sharded HS chunk fn for a given mesh.
+
+    Returns fn(w_in, w_tree, walks, points, codes, key, alpha,
+    min_alpha, t0, total_steps) -> (w_in, w_tree, losses). Table specs:
+    P(None, 'model'); walks/points/codes replicated.
+    """
+    S, W = chunk_steps, window
+    n_data = mesh.shape["data"]
+    bw_local = block_walks // n_data
+    if bw_local == 0:
+        raise ValueError("block_walks must be >= data-axis size")
+    sync_every = sync_every or S
+
+    def body(w_in, w_tree, walks, points, codes, key, alpha, min_alpha,
+             t0, total_steps):
+        di = jax.lax.axis_index("data")
+        NW, L = walks.shape
+        V, Dl = w_in.shape
+        n_inner = w_tree.shape[0]
+        T = points.shape[1]
+        n_blocks = jnp.maximum(NW // block_walks, 1)
+
+        Pk = max(min(max(128 // L, 1), bw_local), 1)
+        G = bw_local // Pk
+        PL = Pk * L
+        bw_used = G * Pk
+
+        k1 = jax.random.fold_in(jax.random.fold_in(key, t0), di)
+        eff = W - (
+            jax.random.uniform(k1, (S, G, PL)) * W
+        ).astype(jnp.int32).clip(0, W - 1)
+        steps = t0 + jnp.arange(S, dtype=jnp.int32)
+        lrs = jnp.maximum(
+            min_alpha,
+            alpha * (1.0 - steps.astype(jnp.float32) / total_steps),
+        )
+        offs = (steps % n_blocks) * block_walks + di * bw_local
+
+        igrid = jax.lax.broadcasted_iota(jnp.int32, (PL, PL), 0)
+        jgrid = jax.lax.broadcasted_iota(jnp.int32, (PL, PL), 1)
+        same_walk = (igrid // L) == (jgrid // L)
+        dm = jnp.abs(jgrid % L - igrid % L)
+        window_ok = same_walk & (dm >= 1) & (dm <= W)
+
+        def one_step(carry, xs):
+            w_in, w_tree = carry
+            off, eff_b, lr, i = xs
+
+            tok = jax.lax.dynamic_slice(walks, (off, 0), (bw_used, L))
+            tok = tok.reshape(G, PL)
+            tok_ok = tok >= 0
+            tok_safe = jnp.where(tok_ok, tok, 0)
+
+            yin = w_in[tok_safe]  # [G, PL, Dl] centers
+            pts = points[tok_safe]  # [G, PL, T] context paths
+            cds = codes[tok_safe]
+            pts_ok = (pts >= 0) & tok_ok[:, :, None]
+            pts_safe = jnp.where(pts_ok, pts, 0)
+            ptv = w_tree[pts_safe]  # [G, PL, T, Dl]
+
+            mask = (
+                window_ok[None]
+                & (dm[None] <= eff_b[:, :, None])
+                & tok_ok[:, :, None]
+                & tok_ok[:, None, :]
+            ).astype(jnp.float32)
+
+            # flattened (context m, level t) logits axis (see
+            # train.hsoftmax); partial over local columns, psum over
+            # model completes the full-D dot
+            N = PL * T
+            ptv_n = ptv.reshape(G, N, Dl)
+            logits = jax.lax.psum(
+                jnp.einsum("gld,gnd->gln", yin, ptv_n,
+                           preferred_element_type=jnp.float32),
+                "model",
+            )
+            label = 1.0 - cds
+            gate_n = (
+                mask[:, :, :, None] * pts_ok[:, None, :, :]
+            ).reshape(G, PL, N)
+            gmat = (
+                label.reshape(G, 1, N) - jax.nn.sigmoid(logits)
+            ) * gate_n
+
+            d_yin = jnp.einsum("gln,gnd->gld", gmat, ptv_n,
+                               preferred_element_type=jnp.float32)
+            d_tree = jnp.einsum(
+                "gln,gld->gnd", gmat, yin,
+                preferred_element_type=jnp.float32,
+            ).reshape(G, PL, T, Dl)
+
+            # per-row accumulation cap, occupancy riding the scatter
+            # (identical math to train.hsoftmax — the count column is
+            # replicated across model shards so scales agree)
+            cap = jnp.float32(update_cap)
+            flat = tok_safe.reshape(-1)
+            d_tok = jnp.concatenate(
+                [d_yin.reshape(-1, Dl),
+                 jnp.ones((G * PL, 1), jnp.float32)],
+                axis=1,
+            )
+            tbuf = (
+                jnp.zeros((V, Dl + 1), jnp.float32).at[flat].add(d_tok)
+            )
+            tok_scale = jnp.minimum(
+                1.0, cap / jnp.maximum(tbuf[:, Dl], 1.0)
+            )[:, None]
+            n_pairs_ctx = jnp.sum(mask, axis=1)
+            tflat = pts_safe.reshape(-1)
+            tweight = jnp.broadcast_to(
+                n_pairs_ctx[:, :, None], pts_safe.shape
+            ).reshape(-1) * pts_ok.reshape(-1)
+            d_tr = jnp.concatenate(
+                [d_tree.reshape(-1, Dl), tweight[:, None]], axis=1
+            )
+            rbuf = (
+                jnp.zeros((n_inner, Dl + 1), jnp.float32)
+                .at[tflat].add(d_tr)
+            )
+            tree_scale = jnp.minimum(
+                1.0, cap / jnp.maximum(rbuf[:, Dl], 1.0)
+            )[:, None]
+
+            w_in = w_in + lr * tbuf[:, :Dl] * tok_scale
+            w_tree = w_tree + lr * rbuf[:, :Dl] * tree_scale
+
+            do_sync = (i + 1) % sync_every == 0
+            w_in, w_tree = jax.lax.cond(
+                do_sync,
+                lambda ts: jax.tree.map(
+                    lambda t: jax.lax.pmean(t, "data"), ts
+                ),
+                lambda ts: ts,
+                (w_in, w_tree),
+            )
+
+            sgn = 2.0 * label.reshape(G, 1, N) - 1.0
+            ll = jax.nn.log_sigmoid(sgn * logits)
+            loss = -jnp.sum(ll * gate_n) / jnp.maximum(
+                jnp.sum(mask), 1.0
+            )
+            return (w_in, w_tree), loss
+
+        (w_in, w_tree), losses = jax.lax.scan(
+            one_step, (w_in, w_tree),
+            (offs, eff, lrs, jnp.arange(S, dtype=jnp.int32)),
+        )
+        # final sync so returned replicas agree
+        w_in = jax.lax.pmean(w_in, "data")
+        w_tree = jax.lax.pmean(w_tree, "data")
+        losses = jax.lax.pmean(losses, "data")
+        return w_in, w_tree, losses
+
+    table_spec = P(None, "model")
+    rep = P()
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(table_spec, table_spec, rep, rep, rep, rep, rep, rep,
+                  rep, rep),
+        out_specs=(table_spec, table_spec, rep),
+        check_vma=False,
+    )
+    return jax.jit(fn, donate_argnums=(0, 1))

@@ -231,7 +231,8 @@ class HSTrainer:
 
     def __init__(self, embed_size=128, window=5, epochs=5,
                  block_walks=504, alpha=0.025, min_alpha=1e-4,
-                 chunk_steps=64, update_cap=8.0, sample=1e-3, seed=0):
+                 chunk_steps=64, update_cap=8.0, sample=1e-3, seed=0,
+                 mesh=None, sync_every=None):
         self.embed_size = embed_size
         self.window = window
         self.epochs = epochs
@@ -242,6 +243,8 @@ class HSTrainer:
         self.update_cap = update_cap
         self.sample = sample  # gensim-default frequent-node subsampling
         self.seed = seed
+        self.mesh = mesh  # jax.sharding.Mesh -> DP×TP sharded chunks
+        self.sync_every = sync_every  # DP replica-averaging period
 
     def fit(self, walks, num_nodes, key=None):
         from graphembedding_tpu.train.skipgram import (
@@ -261,8 +264,18 @@ class HSTrainer:
 
         walks = jnp.asarray(walks)
         NW, L = walks.shape
-        P = max(min(max(128 // L, 1), NW), 1)
-        bw = max((min(self.block_walks, max(NW // 4, P)) // P) * P, P)
+        if self.mesh is not None:
+            # per-device slices must be whole MXU packs (mirrors
+            # parallel.trainer.DistributedSkipGramTrainer's rounding)
+            n = self.mesh.shape["data"]
+            per = max(min(self.block_walks, max(NW // 4, n)) // n, 1)
+            pk = max(min(max(128 // L, 1), per), 1)
+            bw = max((per // pk) * pk, pk) * n
+        else:
+            P = max(min(max(128 // L, 1), NW), 1)
+            bw = max(
+                (min(self.block_walks, max(NW // 4, P)) // P) * P, P
+            )
         n_blocks = max(NW // bw, 1)
         chunks_per_epoch = max(
             (n_blocks + self.chunk_steps - 1) // self.chunk_steps, 1
@@ -286,6 +299,36 @@ class HSTrainer:
         keep_tok = (
             None if keep is None else _gather_keep(walks, jnp.asarray(keep))
         )
+        if self.mesh is not None:
+            from graphembedding_tpu.parallel.hsoftmax import (
+                sharded_hs_chunk,
+            )
+
+            chunk_fn = sharded_hs_chunk(
+                self.mesh, chunk_steps=self.chunk_steps, block_walks=bw,
+                window=self.window, update_cap=self.update_cap,
+                sync_every=self.sync_every,
+            )
+
+            def run_chunk(w_in, w_tree, shuffled, t):
+                with self.mesh:
+                    return chunk_fn(
+                        w_in, w_tree, shuffled, points, codes, k_train,
+                        jnp.float32(self.alpha),
+                        jnp.float32(self.min_alpha),
+                        jnp.int32(t), jnp.float32(n_steps),
+                    )
+        else:
+
+            def run_chunk(w_in, w_tree, shuffled, t):
+                return hs_block_chunk(
+                    w_in, w_tree, shuffled, points, codes, k_train,
+                    jnp.float32(self.alpha), jnp.float32(self.min_alpha),
+                    jnp.int32(t), jnp.float32(n_steps),
+                    chunk_steps=self.chunk_steps, block_walks=bw,
+                    window=self.window, update_cap=self.update_cap,
+                )
+
         losses = []
         t = 0
         for epoch in range(self.epochs):
@@ -298,13 +341,7 @@ class HSTrainer:
                     walks, jax.random.fold_in(k_shuf, epoch)
                 )
             for c in range(chunks_per_epoch):
-                w_in, w_tree, l = hs_block_chunk(
-                    w_in, w_tree, shuffled, points, codes, k_train,
-                    jnp.float32(self.alpha), jnp.float32(self.min_alpha),
-                    jnp.int32(t), jnp.float32(n_steps),
-                    chunk_steps=self.chunk_steps, block_walks=bw,
-                    window=self.window, update_cap=self.update_cap,
-                )
+                w_in, w_tree, l = run_chunk(w_in, w_tree, shuffled, t)
                 losses.append(l)
                 t += self.chunk_steps
         return w_in, w_tree, jnp.concatenate(losses)

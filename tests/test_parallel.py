@@ -306,3 +306,68 @@ def test_distributed_trainer_rejects_foreign_checkpoint(tmp_path):
     tr = DistributedSkipGramTrainer(mesh, cfg, mode="rowshard")
     with pytest.raises(ValueError, match="lacks keys"):
         tr.fit(walks, 30, jax.random.PRNGKey(0), checkpoint_dir=ck)
+
+
+def test_sharded_hs_runs_and_learns():
+    """DP×TP hierarchical-softmax chunk separates two communities."""
+    from graphembedding_tpu.parallel.hsoftmax import sharded_hs_chunk
+    from graphembedding_tpu.train.hsoftmax import build_huffman
+
+    devs = len(jax.devices())
+    shape = (devs // 2, 2) if devs % 2 == 0 and devs > 1 else (devs, 1)
+    mesh = make_mesh(shape)
+    V, D, L = 20, 16, 8
+    rng = np.random.default_rng(2)
+    walks = []
+    for _ in range(256):
+        side = rng.integers(0, 2)
+        walks.append(rng.integers(side * 10, side * 10 + 10, size=L))
+    walks_np = np.asarray(walks, dtype=np.int32)
+    walks = jnp.asarray(walks_np)
+    counts = np.bincount(walks_np.ravel(), minlength=V)
+    points, codes, _ = build_huffman(counts)
+    points, codes = jnp.asarray(points), jnp.asarray(codes)
+
+    w_in = jnp.asarray(rng.uniform(-0.03, 0.03, (V, D)), jnp.float32)
+    w_tree = jnp.zeros((V - 1, D), jnp.float32)
+
+    bw = 8 * shape[0]
+    fn = sharded_hs_chunk(
+        mesh, chunk_steps=8, block_walks=bw, window=3, sync_every=4
+    )
+    t = 0
+    with mesh:
+        for c in range(8):
+            w_in, w_tree, losses = fn(
+                w_in, w_tree, walks, points, codes, jax.random.PRNGKey(3),
+                jnp.float32(0.08), jnp.float32(1e-4), jnp.int32(t),
+                jnp.float32(64.0),
+            )
+            t += 8
+    assert np.isfinite(np.asarray(losses)).all()
+    emb = np.array(np.asarray(w_in))
+    assert np.isfinite(emb).all()
+    emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    sims = emb @ emb.T
+    within = ((sims[:10, :10].sum() - 10) / 90
+              + (sims[10:, 10:].sum() - 10) / 90) / 2
+    across = sims[:10, 10:].mean()
+    assert within > across + 0.3
+
+
+def test_sharded_hs_matches_single_device_quality():
+    """HSTrainer(mesh=...) reaches the single-device trainer's F1 on a
+    small community graph (same walks, same budget)."""
+    from graphembedding_tpu.data.datasets import synthetic_wiki
+    from graphembedding_tpu.eval.classify import Classifier
+    from graphembedding_tpu.models import DeepWalk
+
+    ds = synthetic_wiki(num_nodes=120, num_classes=3, avg_degree=8,
+                        seed=5)
+    mesh = make_mesh((len(jax.devices()), 1))
+    m = DeepWalk(ds.graph, walk_length=10, num_walks=20, seed=0)
+    m.train(embed_size=32, window_size=5, iter=3, hs=1, mesh=mesh)
+    res = Classifier(m.get_embeddings()).split_train_evaluate(
+        ds.X, ds.Y, 0.8
+    )
+    assert res["micro"] >= 0.7, res["micro"]
