@@ -83,18 +83,44 @@ def line_train_chunk(
     than the saved row issues, unlike the walk-block trainer where
     negatives dominate row traffic), and slightly better micro-F1
     (0.7609 vs 0.7568 seed 0)."""
+    hs, tposs, tnegs, lrs = _line_bulk_samples(
+        edge_src, edge_dst, edge_accept, edge_alias, neg_table, key,
+        lr0, t0, total_steps, chunk_steps=chunk_steps,
+        batch_size=batch_size, negative=negative, k_shared=k_shared,
+    )
+    step = _make_line_step(
+        batch_size=batch_size, negative=negative,
+        order_first=order_first, k_shared=k_shared,
+        update_cap=update_cap,
+    )
+    (emb, ctx), losses = jax.lax.scan(
+        step, (emb, ctx), (hs, tposs, tnegs, lrs)
+    )
+    return emb, ctx, losses
+
+
+def _neg_grouping(batch_size, negative, k_shared):
+    """Pairs-per-shared-set (NG) and groups-per-step (Bg); see
+    `line_train_chunk`'s negative-sharing docstring."""
+    B, K, K2 = batch_size, negative, k_shared
+    NG = max(min(K2 // max(K, 1), B), 1)
+    while B % NG:
+        NG -= 1
+    return NG, B // NG
+
+
+def _line_bulk_samples(
+    edge_src, edge_dst, edge_accept, edge_alias, neg_table, key, lr0,
+    t0, total_steps, *, chunk_steps, batch_size, negative, k_shared,
+):
+    """Hoisted bulk sampling for one chunk: edges via the weight alias
+    table, negatives via the pre-sampled degree^0.75 table, linear-decay
+    LRs. Returns per-step scan inputs (hs, tposs, tnegs, lrs)."""
     n_edges = edge_src.shape[0]
     S, B, K = chunk_steps, batch_size, negative
     K2 = k_shared
     if K2:
-        # pairs per shared-negative set: per-row accumulated event
-        # weight = NG*(K/K2) ~= 1 with NG = K2//K — each shared row
-        # moves about one sequential-update magnitude per step, so
-        # the cap below is pure tail insurance
-        NG = max(min(K2 // max(K, 1), B), 1)
-        while B % NG:
-            NG -= 1
-        Bg = B // NG  # groups per step
+        _, Bg = _neg_grouping(B, K, K2)
 
     k1, k2, k3 = jax.random.split(jax.random.fold_in(key, t0), 3)
     u1 = jax.random.uniform(k1, (S, B))
@@ -116,6 +142,20 @@ def line_train_chunk(
         / total_steps,
         1e-4,
     )
+    return hs, tposs, tnegs, lrs
+
+
+def _make_line_step(*, batch_size, negative, order_first, k_shared,
+                    update_cap):
+    """Build the per-step scan body shared by the single-device chunk
+    and the sharded chunk (parallel/line.py)."""
+    B, K, K2 = batch_size, negative, k_shared
+    if K2:
+        # pairs per shared-negative set: per-row accumulated event
+        # weight = NG*(K/K2) ~= 1 with NG = K2//K — each shared row
+        # moves about one sequential-update magnitude per step, so
+        # the cap below is pure tail insurance
+        NG, Bg = _neg_grouping(B, K, K2)
 
     def step(carry, xs):
         emb, ctx = carry
@@ -177,10 +217,7 @@ def line_train_chunk(
         )
         return (emb, ctx), loss
 
-    (emb, ctx), losses = jax.lax.scan(
-        step, (emb, ctx), (hs, tposs, tnegs, lrs)
-    )
-    return emb, ctx, losses
+    return step
 
 
 def line_train(
@@ -203,6 +240,8 @@ def line_train(
     update_cap=8.0,
     checkpoint_dir=None,
     checkpoint_every=0,
+    mesh=None,
+    sync_every=None,
 ):
     """Full LINE run as a Python loop of fixed-size compiled chunks.
 
@@ -211,7 +250,19 @@ def line_train(
     restartable loop as the skip-gram trainers (SURVEY.md §6). Chunk
     RNG is keyed by the step counter, so a resumed run replays the
     exact remaining schedule.
+
+    mesh: train data-parallel over the mesh's data axis (batch_size is
+    global; see parallel/line.py).
     """
+    if mesh is not None:
+        from graphembedding_tpu.parallel.line import sharded_line_chunk
+
+        sharded_fn = sharded_line_chunk(
+            mesh, chunk_steps=chunk_steps, batch_size=batch_size,
+            negative=negative, order_first=order_first,
+            k_shared=k_shared, update_cap=update_cap,
+            sync_every=sync_every,
+        )
     n_chunks = max((n_steps + chunk_steps - 1) // chunk_steps, 1)
     resume_chunk = 0
     if checkpoint_dir:
@@ -227,25 +278,33 @@ def line_train(
     for c in range(n_chunks):
         if c < resume_chunk:
             continue
-        emb, ctx, l = line_train_chunk(
-            emb,
-            ctx,
-            edge_src,
-            edge_dst,
-            edge_accept,
-            edge_alias,
-            neg_table,
-            key,
-            lr0,
-            jnp.int32(c * chunk_steps),
-            total_steps,
-            chunk_steps=chunk_steps,
-            batch_size=batch_size,
-            negative=negative,
-            order_first=order_first,
-            k_shared=k_shared,
-            update_cap=update_cap,
-        )
+        if mesh is not None:
+            with mesh:
+                emb, ctx, l = sharded_fn(
+                    emb, ctx, edge_src, edge_dst, edge_accept,
+                    edge_alias, neg_table, key, lr0,
+                    jnp.int32(c * chunk_steps), total_steps,
+                )
+        else:
+            emb, ctx, l = line_train_chunk(
+                emb,
+                ctx,
+                edge_src,
+                edge_dst,
+                edge_accept,
+                edge_alias,
+                neg_table,
+                key,
+                lr0,
+                jnp.int32(c * chunk_steps),
+                total_steps,
+                chunk_steps=chunk_steps,
+                batch_size=batch_size,
+                negative=negative,
+                order_first=order_first,
+                k_shared=k_shared,
+                update_cap=update_cap,
+            )
         losses.append(l)
         if checkpoint_dir and checkpoint_every:
             from graphembedding_tpu.utils.checkpoint import maybe_save
@@ -322,10 +381,12 @@ class LINE:
 
     def train(self, batch_size=1024, epochs=1, initial_lr=0.025,
               verbose=0, times=1, checkpoint_dir=None,
-              checkpoint_every=0):
-        """Reference signature plus checkpoint_dir/-every: Orbax
-        checkpoint + resume per trained order (subdirectories
-        'first' / 'second' under checkpoint_dir)."""
+              checkpoint_every=0, mesh=None, sync_every=None):
+        """Reference signature plus checkpoint_dir/-every (Orbax
+        checkpoint + resume per trained order, subdirectories
+        'first' / 'second' under checkpoint_dir) and mesh= (data-
+        parallel edge batches over the mesh — parallel/line.py;
+        batch_size is global)."""
         del verbose
         import os
         g = self.graph
@@ -360,6 +421,8 @@ class LINE:
                 checkpoint_dir=(os.path.join(checkpoint_dir, "first")
                                 if checkpoint_dir else None),
                 checkpoint_every=checkpoint_every,
+                mesh=mesh,
+                sync_every=sync_every,
             )
             self.losses = l1
         if self.order in ("second", "all"):
@@ -382,6 +445,8 @@ class LINE:
                 checkpoint_dir=(os.path.join(checkpoint_dir, "second")
                                 if checkpoint_dir else None),
                 checkpoint_every=checkpoint_every,
+                mesh=mesh,
+                sync_every=sync_every,
             )
             self.losses = l2
         self._embeddings = None

@@ -156,11 +156,14 @@ class SDNE:
 
     def train(self, batch_size=1024, epochs=1, initial_epoch=0, verbose=0,
               learning_rate=1e-3, checkpoint_dir=None,
-              checkpoint_every=0):
-        """Reference signature plus checkpoint_dir/-every: Orbax
+              checkpoint_every=0, mesh=None):
+        """Reference signature plus checkpoint_dir/-every (Orbax
         checkpoint of (params, optimizer state, epoch) every N epochs
         with resume — the epoch scan is chunked at the checkpoint
-        cadence (one compiled program per distinct chunk length)."""
+        cadence, one compiled program per distinct chunk length) and
+        mesh= (EXACT row-sharded data parallelism for the full-batch
+        mode — parallel/sdne.py; same objective and updates as the
+        single-device run)."""
         del initial_epoch, verbose
         import numpy as _np
         V = self.graph.num_nodes
@@ -174,7 +177,35 @@ class SDNE:
         # first build inside jit would cache a tracer)
         A, L = self.A, self.L
 
-        if batch_size >= V:
+        if mesh is not None:
+            if batch_size < V:
+                raise NotImplementedError(
+                    "mesh= shards the full-batch mode (batch_size >= "
+                    "node count); the reference-exact minibatch loop's "
+                    "L[idx][:, idx] coupling is batch-composition-"
+                    "dependent and stays single-device"
+                )
+            from graphembedding_tpu.parallel.sdne import (
+                pad_rows,
+                sharded_sdne_train,
+            )
+
+            n_data = mesh.shape["data"]
+            padded = pad_rows(jnp.asarray(A), jnp.asarray(L), V, n_data)
+            _fns = {}
+
+            def run_epochs(params, opt_state, A_d, L_d, start, n):
+                del A_d, L_d  # sharded path uses the padded copies
+                if n not in _fns:
+                    _fns[n] = sharded_sdne_train(
+                        mesh, tx, num_nodes=V, alpha=self.alpha,
+                        beta=self.beta, nu1=self.nu1, nu2=self.nu2,
+                        n_epochs=n,
+                    )
+                A_pad, L_pad, ok = padded
+                with mesh:
+                    return _fns[n](params, opt_state, A_pad, L_pad, ok)
+        elif batch_size >= V:
             # full-batch: one [V,V] MXU matmul per step. ALL epochs run
             # inside one compiled scan — per-epoch dispatch through the
             # device tunnel costs ~10-100 ms each, comparable to the

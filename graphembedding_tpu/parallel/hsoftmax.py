@@ -14,9 +14,12 @@ single-chip only. Mapping to the mesh mirrors `parallel/sgns.py`:
 
 - **data axis (DP, hogwild-style):** each data group consumes a
   different slice of the walk block and updates its own table replica;
-  replicas are averaged with `pmean` at chunk boundaries (every
-  `sync_every` steps) — the same staleness trade the reference's
-  gensim hogwild threads make, validated in tests/test_parallel.py.
+  every `sync_every` steps the replicas' accumulated deltas since the
+  last sync are SUMMED (`base + psum(local - base)`) — hogwild-parity
+  semantics: every replica's update lands in full, exactly like
+  gensim's racing threads (see parallel/line.py for why plain table
+  averaging dilutes sparse row updates by n_data). Validated in
+  tests/test_parallel.py.
 
 The per-device compute body is `train.hsoftmax.hs_block_chunk`'s packed
 walk-block formulation (P=128//L walks per MXU tile, flattened
@@ -86,7 +89,7 @@ def sharded_hs_chunk(
         window_ok = same_walk & (dm >= 1) & (dm <= W)
 
         def one_step(carry, xs):
-            w_in, w_tree = carry
+            (w_in, w_tree), (w_in_b, w_tree_b) = carry  # _b: last sync
             off, eff_b, lr, i = xs
 
             tok = jax.lax.dynamic_slice(walks, (off, 0), (bw_used, L))
@@ -168,14 +171,20 @@ def sharded_hs_chunk(
             w_in = w_in + lr * tbuf[:, :Dl] * tok_scale
             w_tree = w_tree + lr * rbuf[:, :Dl] * tree_scale
 
+            # hogwild-parity sum of per-replica deltas (see module
+            # docstring)
+            def _sync(state):
+                (w_in, w_tree), (w_in_b, w_tree_b) = state
+                w_in = w_in_b + jax.lax.psum(w_in - w_in_b, "data")
+                w_tree = w_tree_b + jax.lax.psum(
+                    w_tree - w_tree_b, "data"
+                )
+                return (w_in, w_tree), (w_in, w_tree)
+
             do_sync = (i + 1) % sync_every == 0
-            w_in, w_tree = jax.lax.cond(
-                do_sync,
-                lambda ts: jax.tree.map(
-                    lambda t: jax.lax.pmean(t, "data"), ts
-                ),
-                lambda ts: ts,
-                (w_in, w_tree),
+            (w_in, w_tree), (w_in_b, w_tree_b) = jax.lax.cond(
+                do_sync, _sync, lambda s: s,
+                ((w_in, w_tree), (w_in_b, w_tree_b)),
             )
 
             sgn = 2.0 * label.reshape(G, 1, N) - 1.0
@@ -183,15 +192,15 @@ def sharded_hs_chunk(
             loss = -jnp.sum(ll * gate_n) / jnp.maximum(
                 jnp.sum(mask), 1.0
             )
-            return (w_in, w_tree), loss
+            return ((w_in, w_tree), (w_in_b, w_tree_b)), loss
 
-        (w_in, w_tree), losses = jax.lax.scan(
-            one_step, (w_in, w_tree),
+        ((w_in, w_tree), (w_in_b, w_tree_b)), losses = jax.lax.scan(
+            one_step, ((w_in, w_tree), (w_in, w_tree)),
             (offs, eff, lrs, jnp.arange(S, dtype=jnp.int32)),
         )
-        # final sync so returned replicas agree
-        w_in = jax.lax.pmean(w_in, "data")
-        w_tree = jax.lax.pmean(w_tree, "data")
+        # final sync (same sum semantics) so returned replicas agree
+        w_in = w_in_b + jax.lax.psum(w_in - w_in_b, "data")
+        w_tree = w_tree_b + jax.lax.psum(w_tree - w_tree_b, "data")
         losses = jax.lax.pmean(losses, "data")
         return w_in, w_tree, losses
 

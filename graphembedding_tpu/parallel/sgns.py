@@ -13,11 +13,14 @@ threads inside gensim, SURVEY.md §3.3). Mapping to the mesh:
 
 - **data axis (DP, hogwild-style):** each data group consumes a
   different slice of the walk block and scatter-updates its own table
-  replica; replicas are averaged with `pmean` every `sync_every`
-  steps. This is the cross-device analogue of the reference's
-  lock-free hogwild (gensim threads race on one table; we batch and
-  average). Exactness is deliberately traded the same way hogwild
-  trades it; quality is validated in tests (`tests/test_parallel.py`).
+  replica; every `sync_every` steps the replicas' accumulated deltas
+  since the last sync are SUMMED (`base + psum(local - base)`). This
+  is the cross-device analogue of the reference's lock-free hogwild
+  (gensim threads race on one table and every thread's update lands):
+  exact sequential mass on rows touched by one replica, hogwild-style
+  racing sums on rows hot across replicas. Exactness is deliberately
+  traded the same way hogwild trades it; quality is validated in
+  tests (`tests/test_parallel.py`).
 
 The per-device compute body uses the same packed walk-block
 formulation as the single-chip path (`train.skipgram.sgns_block_chunk`
@@ -108,7 +111,7 @@ def sharded_sgns_chunk(
         w_cat0 = jnp.concatenate([w_in, w_out], axis=1)
 
         def one_step(carry, xs):
-            w_cat = carry
+            w_cat, w_base = carry  # w_base: table at the last DP sync
             off, eff_b, neg, lr, i = xs  # neg: [G2, K]
 
             tok = jax.lax.dynamic_slice(walks, (off, 0), (bw_used, L))
@@ -199,11 +202,21 @@ def sharded_sgns_chunk(
                 (-lr) * nbuf[:, :Dl] * neg_scale
             )
 
-            # periodic DP sync: average replicas over the data axis
+            # periodic DP sync with hogwild-parity SUM semantics:
+            # every replica's accumulated delta since the last sync
+            # lands in full (psum), exactly like gensim's racing
+            # threads. Plain pmean of tables instead would divide each
+            # sparse row delta by n_data (only the replicas that
+            # touched a row contribute non-stale values) — measured as
+            # a quality collapse on sparse workloads (parallel/line.py)
+            def _sync(wb):
+                w_cat, w_base = wb
+                w_cat = w_base + jax.lax.psum(w_cat - w_base, "data")
+                return w_cat, w_cat
+
             do_sync = (i + 1) % sync_every == 0
-            w_cat = jax.lax.cond(
-                do_sync, lambda t: jax.lax.pmean(t, "data"),
-                lambda t: t, w_cat,
+            w_cat, w_base = jax.lax.cond(
+                do_sync, _sync, lambda wb: wb, (w_cat, w_base)
             )
 
             n_tot = jnp.maximum(jnp.sum(mask), 1.0)
@@ -212,15 +225,15 @@ def sharded_sgns_chunk(
                 + jnp.sum(jax.nn.log_sigmoid(-nlog)
                           * (np_n * neg_w)[:, :, None] * neg_ok)
             ) / n_tot
-            return w_cat, loss
+            return (w_cat, w_base), loss
 
-        w_cat, losses = jax.lax.scan(
+        (w_cat, w_base), losses = jax.lax.scan(
             one_step,
-            w_cat0,
+            (w_cat0, w_cat0),
             (offs, eff, negs, lrs, jnp.arange(S, dtype=jnp.int32)),
         )
-        # final sync so returned replicas agree
-        w_cat = jax.lax.pmean(w_cat, "data")
+        # final sync (same sum semantics) so returned replicas agree
+        w_cat = w_base + jax.lax.psum(w_cat - w_base, "data")
         losses = jax.lax.pmean(losses, "data")
         return w_cat[:, :Dl], w_cat[:, Dl:], losses
 

@@ -97,12 +97,17 @@ def test_sharded_sgns_runs_and_learns():
         mesh, chunk_steps=8, block_walks=bw, window=3, negative=5,
         k_shared=8, neg_share_walks=4, sync_every=4,
     )
+    # DP syncs SUM per-replica deltas (hogwild parity); on this
+    # degenerate 20-row table every row is hot on every replica, so the
+    # effective LR scales with the data-axis size — divide it back out
+    # (real vocabularies are Zipf-sparse and don't need this)
+    alpha = 0.05 / shape[0]
     t = 0
     with mesh:
         for c in range(8):
             w_in, w_out, losses = fn(
                 w_in, w_out, walks, table, jax.random.PRNGKey(3),
-                jnp.float32(0.05), jnp.float32(1e-4), jnp.int32(t),
+                jnp.float32(alpha), jnp.float32(1e-4), jnp.int32(t),
                 jnp.float32(64.0),
             )
             t += 8
@@ -371,3 +376,71 @@ def test_sharded_hs_matches_single_device_quality():
         ds.X, ds.Y, 0.8
     )
     assert res["micro"] >= 0.7, res["micro"]
+
+
+def test_line_trains_over_mesh():
+    """LINE(...).train(mesh=...) — DP edge batches — reaches the
+    single-device quality gate on a small community graph."""
+    from graphembedding_tpu.data.datasets import synthetic_wiki
+    from graphembedding_tpu.eval.classify import Classifier
+    from graphembedding_tpu.models import LINE
+
+    ds = synthetic_wiki(num_nodes=120, num_classes=3, avg_degree=8,
+                        seed=5)
+    mesh = make_mesh((len(jax.devices()), 1))
+    m = LINE(ds.graph, embedding_size=32, order="second")
+    m.train(batch_size=256, epochs=60, mesh=mesh, sync_every=16)
+    res = Classifier(m.get_embeddings()).split_train_evaluate(
+        ds.X, ds.Y, 0.8
+    )
+    assert res["micro"] >= 0.6, res["micro"]
+
+
+def test_line_mesh_rejects_model_axis():
+    from graphembedding_tpu.parallel.line import sharded_line_chunk
+
+    devs = len(jax.devices())
+    if devs < 2:
+        pytest.skip("needs >= 2 devices")
+    mesh = make_mesh((devs // 2, 2))
+    with pytest.raises(ValueError, match="data axis only"):
+        sharded_line_chunk(mesh, chunk_steps=4, batch_size=64,
+                           negative=5, order_first=False)
+
+
+def test_sdne_mesh_matches_single_device():
+    """Row-sharded SDNE is EXACT: same per-epoch losses and embeddings
+    as the single-device full-batch run (modulo f32 reduction order)."""
+    from graphembedding_tpu.data.datasets import synthetic_wiki
+    from graphembedding_tpu.models import SDNE
+
+    ds = synthetic_wiki(num_nodes=100, num_classes=3, avg_degree=8,
+                        seed=3)
+    kw = dict(hidden_size=[32, 16], seed=0)
+    m1 = SDNE(ds.graph, **kw)
+    m1.train(batch_size=1024, epochs=8)
+    m2 = SDNE(ds.graph, **kw)
+    mesh = make_mesh((len(jax.devices()), 1))
+    m2.train(batch_size=1024, epochs=8, mesh=mesh)
+
+    l1 = np.asarray(m1.losses)
+    l2 = np.asarray(m2.losses)
+    np.testing.assert_allclose(l1, l2, rtol=2e-3)
+    e1 = np.asarray(m1.embedding_table)
+    e2 = np.asarray(m2.embedding_table)
+    # cosine similarity per node ~ 1
+    num = (e1 * e2).sum(-1)
+    den = np.linalg.norm(e1, axis=-1) * np.linalg.norm(e2, axis=-1)
+    assert (num / np.maximum(den, 1e-9)).min() > 0.99
+
+
+def test_sdne_mesh_rejects_minibatch():
+    from graphembedding_tpu.data.datasets import synthetic_wiki
+    from graphembedding_tpu.models import SDNE
+
+    ds = synthetic_wiki(num_nodes=100, num_classes=3, avg_degree=8,
+                        seed=3)
+    mesh = make_mesh((len(jax.devices()), 1))
+    m = SDNE(ds.graph, hidden_size=[32, 16])
+    with pytest.raises(NotImplementedError, match="full-batch"):
+        m.train(batch_size=10, epochs=1, mesh=mesh)
