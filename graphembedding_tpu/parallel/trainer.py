@@ -117,32 +117,47 @@ class DistributedSkipGramTrainer:
                 neg_share_packs=cfg.neg_share_packs,
             )
 
-        resume_step = 0
-        if checkpoint_dir:
-            # host-gathered checkpointing: correct single-process (any
-            # local device count); a multi-host run would need
-            # Orbax global-array checkpointing of the sharded table
-            if jax.process_count() > 1:
-                raise NotImplementedError(
-                    "distributed-trainer checkpointing is "
-                    "single-process only (table is host-gathered)"
-                )
-            from graphembedding_tpu.utils.checkpoint import try_restore
-
-            keys = (
-                ("w_cat",) if self.mode == "rowshard"
-                else ("w_in", "w_out")
-            )
-            state = try_restore(checkpoint_dir, keys + ("step",))
-            if state is not None:
-                if self.mode == "rowshard":
-                    w_cat = jnp.asarray(state["w_cat"])
-                else:
-                    w_in = jnp.asarray(state["w_in"])
-                    w_out = jnp.asarray(state["w_out"])
-                resume_step = int(state["step"])
+        # sharded (global-array) checkpointing: tables are saved and
+        # restored WITH their shardings via Orbax — each process
+        # touches only its own shards, so the same code path is
+        # multi-host-correct (no host gather)
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
 
         import numpy as np
+
+        if self.mode == "rowshard":
+            # match rowsharded_sgns_chunk's specs: rows over 'data'
+            w_cat = jax.device_put(
+                w_cat, NamedSharding(mesh, P("data", None))
+            )
+        else:
+            # match sharded_sgns_chunk's table spec: columns over
+            # 'model', replicated over 'data'
+            tspec = NamedSharding(mesh, P(None, "model"))
+            w_in = jax.device_put(w_in, tspec)
+            w_out = jax.device_put(w_out, tspec)
+
+        resume_step = 0
+        if checkpoint_dir:
+            from graphembedding_tpu.utils.checkpoint import (
+                try_restore_sharded,
+            )
+
+            if self.mode == "rowshard":
+                template = {"w_cat": w_cat, "step": np.asarray(0)}
+            else:
+                template = {"w_in": w_in, "w_out": w_out,
+                            "step": np.asarray(0)}
+            state = try_restore_sharded(checkpoint_dir, template)
+            if state is not None:
+                if self.mode == "rowshard":
+                    w_cat = state["w_cat"]
+                else:
+                    w_in = state["w_in"]
+                    w_out = state["w_out"]
+                resume_step = int(state["step"])
+
 
         losses = []
         t = 0
@@ -193,12 +208,14 @@ class DistributedSkipGramTrainer:
                         )
 
                         def _state():
+                            # device arrays saved WITH their shardings
+                            # (see the restore path above)
                             s = {"step": np.asarray(t)}
                             if self.mode == "rowshard":
-                                s["w_cat"] = np.asarray(w_cat)
+                                s["w_cat"] = w_cat
                             else:
-                                s["w_in"] = np.asarray(w_in)
-                                s["w_out"] = np.asarray(w_out)
+                                s["w_in"] = w_in
+                                s["w_out"] = w_out
                             return s
 
                         maybe_save(checkpoint_dir, checkpoint_every,

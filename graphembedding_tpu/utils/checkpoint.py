@@ -66,6 +66,30 @@ def try_restore(path: str, expected_keys) -> Optional[Any]:
     return state
 
 
+def try_restore_sharded(path: str, template: Any) -> Optional[Any]:
+    """Sharding-aware `try_restore`: arrays in `template` that are
+    jax.Arrays are restored WITH their shardings — on a multi-host run
+    each process reads only its own shards (no host gather), which is
+    the Orbax global-array checkpoint path. Schema is validated against
+    the template's keys via checkpoint metadata (same refusal semantics
+    as `try_restore`)."""
+    if not os.path.exists(os.path.abspath(path)):
+        return None
+    ocp = _ocp()
+    abspath = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    meta = ckptr.metadata(abspath).item_metadata.tree
+    missing = [k for k in template if k not in meta]
+    if missing:
+        raise ValueError(
+            f"checkpoint at {path!r} lacks keys {missing} "
+            f"(has {sorted(meta)}); it was written by a different "
+            "trainer/mode — refusing to silently restart from step 0"
+        )
+    rargs = ocp.checkpoint_utils.construct_restore_args(template)
+    return ckptr.restore(abspath, item=template, restore_args=rargs)
+
+
 def maybe_save(path: str, every: int, n_calls: int, state_fn) -> bool:
     """Save `state_fn()` when the cadence hits; shared by trainers."""
     if not (path and every and n_calls % every == 0):

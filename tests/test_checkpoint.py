@@ -124,3 +124,46 @@ def test_sdne_checkpoint_resume(tmp_path):
     assert np.isfinite(
         next(iter(m2.get_embeddings().values()))
     ).all()
+
+
+def test_try_restore_sharded_roundtrip(tmp_path):
+    """Sharded arrays round-trip WITH their shardings (the multi-host
+    global-array checkpoint path used by the distributed trainer)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from graphembedding_tpu.parallel.mesh import make_mesh
+    from graphembedding_tpu.utils.checkpoint import (
+        save_state,
+        try_restore_sharded,
+    )
+
+    mesh = make_mesh((len(jax.devices()), 1))
+    sh = NamedSharding(mesh, P("data", None))
+    V = len(jax.devices()) * 4
+    w = jax.device_put(
+        jnp.arange(V * 8, dtype=jnp.float32).reshape(V, 8), sh
+    )
+    path = str(tmp_path / "ck")
+    save_state(path, {"w_cat": w, "step": np.asarray(7)})
+
+    template = {"w_cat": jax.device_put(jnp.zeros_like(w), sh),
+                "step": np.asarray(0)}
+    state = try_restore_sharded(path, template)
+    assert state["w_cat"].sharding.is_equivalent_to(sh, 2)
+    np.testing.assert_array_equal(np.asarray(state["w_cat"]),
+                                  np.asarray(w))
+    assert int(state["step"]) == 7
+    # schema guard: a template with a foreign key refuses to restore
+    import pytest
+
+    with pytest.raises(ValueError, match="lacks keys"):
+        try_restore_sharded(path, {"w_in": w, "step": np.asarray(0)})
+
+
+def test_try_restore_sharded_missing_dir(tmp_path):
+    from graphembedding_tpu.utils.checkpoint import try_restore_sharded
+
+    assert try_restore_sharded(str(tmp_path / "nope"), {"a": 1}) is None
