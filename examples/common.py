@@ -32,7 +32,24 @@ def make_parser(name: str, dataset_default: str) -> argparse.ArgumentParser:
                    help="write a t-SNE scatter to this file")
     p.add_argument("--json", action="store_true",
                    help="print results as one JSON line")
+    p.add_argument("--mesh", default=None, metavar="DATA[xMODEL]",
+                   help="train over a device mesh, e.g. '8' or '4x2' "
+                        "(data x model axes; needs that many JAX "
+                        "devices — set JAX_PLATFORMS=cpu and "
+                        "XLA_FLAGS=--xla_force_host_platform_device_"
+                        "count=N for a virtual mesh)")
     return p
+
+
+def mesh_from_args(args):
+    """None, or a (data, model) Mesh parsed from --mesh."""
+    if not getattr(args, "mesh", None):
+        return None
+    from graphembedding_tpu.parallel import make_mesh
+
+    parts = str(args.mesh).lower().split("x")
+    shape = (int(parts[0]), int(parts[1]) if len(parts) > 1 else 1)
+    return make_mesh(shape)
 
 
 def evaluate_embeddings(embeddings, ds, train_frac=0.8, seed=0):

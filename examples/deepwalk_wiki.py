@@ -4,7 +4,7 @@ Canonical hyperparameters (SURVEY.md §3.1 row 12):
 DeepWalk(walk_length=10, num_walks=80), train(window_size=5, iter=3).
 """
 
-from common import run
+from common import mesh_from_args, run
 
 from graphembedding_tpu.models import DeepWalk
 
@@ -12,7 +12,8 @@ from graphembedding_tpu.models import DeepWalk
 def build_and_train(ds, args):
     model = DeepWalk(ds.graph, walk_length=10, num_walks=80,
                      seed=args.seed)
-    model.train(embed_size=args.embed_size, window_size=5, iter=3)
+    model.train(embed_size=args.embed_size, window_size=5, iter=3,
+                mesh=mesh_from_args(args))
     return model
 
 

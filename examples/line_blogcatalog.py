@@ -9,7 +9,7 @@ override. Falls back to the synthetic BlogCatalog-scale SBM when no
 real edgelist is present (the reference mount was empty all round).
 """
 
-from common import make_parser, run
+from common import make_parser, mesh_from_args, run
 
 from graphembedding_tpu.models import LINE
 
@@ -17,7 +17,8 @@ from graphembedding_tpu.models import LINE
 def build_and_train(ds, args):
     model = LINE(ds.graph, embedding_size=args.embed_size,
                  order=args.order, seed=args.seed)
-    model.train(batch_size=1024, epochs=args.epochs)
+    model.train(batch_size=1024, epochs=args.epochs,
+                mesh=mesh_from_args(args))
     return model
 
 

@@ -4,7 +4,7 @@ Canonical hyperparameters: LINE(embedding_size=128, order='second'),
 train(batch_size=1024, epochs=50).
 """
 
-from common import run
+from common import mesh_from_args, run
 
 from graphembedding_tpu.models import LINE
 
@@ -12,7 +12,8 @@ from graphembedding_tpu.models import LINE
 def build_and_train(ds, args):
     model = LINE(ds.graph, embedding_size=args.embed_size,
                  order="second", seed=args.seed)
-    model.train(batch_size=1024, epochs=50)
+    model.train(batch_size=1024, epochs=50,
+                mesh=mesh_from_args(args))
     return model
 
 

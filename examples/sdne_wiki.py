@@ -4,14 +4,15 @@ Canonical hyperparameters: SDNE(hidden_size=[256, 128]),
 train(batch_size=3000, epochs=40).
 """
 
-from common import run
+from common import mesh_from_args, run
 
 from graphembedding_tpu.models import SDNE
 
 
 def build_and_train(ds, args):
     model = SDNE(ds.graph, hidden_size=[256, 128], seed=args.seed)
-    model.train(batch_size=3000, epochs=40)
+    model.train(batch_size=3000, epochs=40,
+                mesh=mesh_from_args(args))
     return model
 
 

@@ -52,3 +52,22 @@ def test_plot_embeddings_writes_png(tmp_path):
     out = tmp_path / "plot.png"
     plot_embeddings(emb, ds, str(out))
     assert out.exists() and out.stat().st_size > 1000
+
+
+def test_mesh_from_args_parses_shapes():
+    import jax
+
+    sys.path.insert(0, EX_DIR)
+    try:
+        from common import make_parser, mesh_from_args
+    finally:
+        sys.path.remove(EX_DIR)
+
+    p = make_parser("x", "wiki")
+    assert mesh_from_args(p.parse_args([])) is None
+    n = len(jax.devices())
+    m = mesh_from_args(p.parse_args(["--mesh", str(n)]))
+    assert m.shape == {"data": n, "model": 1}
+    if n % 2 == 0:
+        m2 = mesh_from_args(p.parse_args(["--mesh", f"{n//2}x2"]))
+        assert m2.shape == {"data": n // 2, "model": 2}
