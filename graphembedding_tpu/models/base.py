@@ -58,9 +58,15 @@ class WalkEmbeddingModel:
         hs=0,  # 1 -> hierarchical softmax (the reference's
         # Word2Vec(hs=1) objective for DeepWalk/Struc2Vec; SGNS is the
         # default performance path per SURVEY.md §9)
+        checkpoint_dir=None,  # Orbax checkpoint/resume (SURVEY.md §6)
+        checkpoint_every=0,
+        metrics=None,  # utils.metrics.MetricsLogger
         **kwargs,
     ):
         del workers, kwargs
+        fit_kw = dict(checkpoint_dir=checkpoint_dir,
+                      checkpoint_every=checkpoint_every,
+                      metrics=metrics)
         if hs:
             from graphembedding_tpu.train.hsoftmax import HSTrainer
 
@@ -71,7 +77,7 @@ class WalkEmbeddingModel:
             )
             self.w_in, self.w_out, self.losses = trainer.fit(
                 self.walks, self.graph.num_nodes,
-                jax.random.PRNGKey(self.seed + 1),
+                jax.random.PRNGKey(self.seed + 1), **fit_kw,
             )
             self._embeddings = None
             return self
@@ -101,7 +107,7 @@ class WalkEmbeddingModel:
             trainer = SkipGramTrainer(cfg)
         key = jax.random.PRNGKey(self.seed + 1)
         self.w_in, self.w_out, self.losses = trainer.fit(
-            self.walks, self.graph.num_nodes, key
+            self.walks, self.graph.num_nodes, key, **fit_kw
         )
         self._embeddings = None
         return self

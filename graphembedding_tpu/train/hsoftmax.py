@@ -246,7 +246,16 @@ class HSTrainer:
         self.mesh = mesh  # jax.sharding.Mesh -> DP×TP sharded chunks
         self.sync_every = sync_every  # DP replica-averaging period
 
-    def fit(self, walks, num_nodes, key=None):
+    def fit(self, walks, num_nodes, key=None, checkpoint_dir=None,
+            checkpoint_every=0, metrics=None):
+        """Train (w_in, w_tree) over the corpus.
+
+        checkpoint_dir/-every and metrics mirror SkipGramTrainer.fit:
+        Orbax-checkpoint (tables, step) every N chunks with resume,
+        and per-chunk loss lines to a utils.metrics.MetricsLogger.
+        """
+        import numpy as np
+
         from graphembedding_tpu.train.skipgram import (
             _gather_keep,
             corpus_counts,
@@ -284,12 +293,25 @@ class HSTrainer:
         n_steps = self.epochs * chunks_per_epoch * self.chunk_steps
 
         k_init, k_shuf, k_train, k_sub = jax.random.split(key, 4)
-        w_in = (
-            jax.random.uniform(k_init, (num_nodes, self.embed_size))
-            - 0.5
-        ) / self.embed_size
-        w_tree = jnp.zeros((max(num_nodes - 1, 1), self.embed_size),
-                           jnp.float32)
+        resume_step = 0
+        w_in = w_tree = None
+        if checkpoint_dir:
+            from graphembedding_tpu.utils.checkpoint import try_restore
+
+            state = try_restore(
+                checkpoint_dir, ("w_in", "w_tree", "step")
+            )
+            if state is not None:
+                w_in = jnp.asarray(state["w_in"])
+                w_tree = jnp.asarray(state["w_tree"])
+                resume_step = int(state["step"])
+        if w_in is None:
+            w_in = (
+                jax.random.uniform(k_init, (num_nodes, self.embed_size))
+                - 0.5
+            ) / self.embed_size
+            w_tree = jnp.zeros((max(num_nodes - 1, 1), self.embed_size),
+                               jnp.float32)
 
         from graphembedding_tpu.train.skipgram import (
             _prepare_epoch,
@@ -331,7 +353,12 @@ class HSTrainer:
 
         losses = []
         t = 0
+        n_chunk_calls = 0
+        epoch_steps = chunks_per_epoch * self.chunk_steps
         for epoch in range(self.epochs):
+            if t + epoch_steps <= resume_step:
+                t += epoch_steps  # fully-resumed epoch: skip the
+                continue  # corpus shuffle too
             if keep_tok is not None:
                 shuffled = _prepare_epoch(
                     walks, keep_tok, jax.random.fold_in(k_sub, epoch)
@@ -341,7 +368,31 @@ class HSTrainer:
                     walks, jax.random.fold_in(k_shuf, epoch)
                 )
             for c in range(chunks_per_epoch):
+                if t < resume_step:
+                    t += self.chunk_steps
+                    continue
                 w_in, w_tree, l = run_chunk(w_in, w_tree, shuffled, t)
                 losses.append(l)
                 t += self.chunk_steps
+                n_chunk_calls += 1
+                if metrics is not None:
+                    metrics.log(
+                        kind="hs_chunk", epoch=epoch, step=t,
+                        loss=round(float(l.mean()), 5),
+                    )
+                if checkpoint_dir and checkpoint_every:
+                    from graphembedding_tpu.utils.checkpoint import (
+                        maybe_save,
+                    )
+
+                    maybe_save(
+                        checkpoint_dir, checkpoint_every, n_chunk_calls,
+                        lambda: {
+                            "w_in": np.asarray(w_in),
+                            "w_tree": np.asarray(w_tree),
+                            "step": np.asarray(t),
+                        },
+                    )
+        if not losses:  # fully resumed past the end
+            losses = [jnp.zeros((0,), jnp.float32)]
         return w_in, w_tree, jnp.concatenate(losses)

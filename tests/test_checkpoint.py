@@ -167,3 +167,53 @@ def test_try_restore_sharded_missing_dir(tmp_path):
     from graphembedding_tpu.utils.checkpoint import try_restore_sharded
 
     assert try_restore_sharded(str(tmp_path / "nope"), {"a": 1}) is None
+
+
+def test_hs_trainer_checkpoint_resume_and_metrics(tmp_path):
+    """HSTrainer mirrors SkipGramTrainer's checkpoint/metrics hooks."""
+    from graphembedding_tpu.train.hsoftmax import HSTrainer
+
+    rng = np.random.default_rng(0)
+    walks = rng.integers(0, 30, (128, 6)).astype(np.int32)
+    ckpt = str(tmp_path / "hs")
+    mpath = str(tmp_path / "hs.jsonl")
+    kw = dict(embed_size=8, window=2, epochs=4, block_walks=32,
+              chunk_steps=4)
+
+    with MetricsLogger(mpath, quiet=True) as m:
+        w_in_full, _, losses = HSTrainer(**kw).fit(
+            walks, 30, checkpoint_dir=ckpt, checkpoint_every=1,
+            metrics=m,
+        )
+    assert np.isfinite(np.asarray(w_in_full)).all()
+    state = load_state(ckpt)
+    assert int(state["step"]) > 0
+    lines = open(mpath).read().strip().split("\n")
+    assert len(lines) == losses.shape[0] // 4  # one line per chunk
+
+    # resume: fewer chunks than a cold run, finite tables
+    w_in2, _, losses2 = HSTrainer(**kw).fit(
+        walks, 30, checkpoint_dir=ckpt, checkpoint_every=0
+    )
+    assert np.isfinite(np.asarray(w_in2)).all()
+    assert losses2.shape[0] < losses.shape[0]
+
+
+def test_deepwalk_model_checkpoint_kwargs(tmp_path):
+    """checkpoint_dir/-every thread through the model-layer train()."""
+    from graphembedding_tpu.data.datasets import synthetic_wiki
+    from graphembedding_tpu.models import DeepWalk
+
+    ds = synthetic_wiki(num_nodes=60, num_classes=3, avg_degree=6,
+                        seed=0)
+    ckpt = str(tmp_path / "dw")
+    m = DeepWalk(ds.graph, walk_length=5, num_walks=4)
+    m.train(embed_size=16, window_size=2, iter=2,
+            checkpoint_dir=ckpt, checkpoint_every=1)
+    state = load_state(ckpt)
+    assert int(state["step"]) > 0
+    m2 = DeepWalk(ds.graph, walk_length=5, num_walks=4)
+    m2.train(embed_size=16, window_size=2, iter=2, hs=1,
+             checkpoint_dir=str(tmp_path / "dw_hs"),
+             checkpoint_every=1)
+    assert int(load_state(str(tmp_path / "dw_hs"))["step"]) > 0
