@@ -158,9 +158,11 @@ def build_context_graph(graph, max_layers=None, opt1=True, opt2=True,
     """Structural distances -> per-layer edge lists with weights exp(-f_k).
 
     Returns (layer_edges, num_layers) where layer_edges[k] is a dict
-    (u, v) -> weight for u < v. Tries the C++ native DTW batch first.
+    (u, v) -> weight for u < v. Tries the C++ native DTW batch first;
+    `workers` threads its BFS + per-pair DTW loops (the reference's
+    joblib `workers=N` role; None/0 -> all hardware threads).
     """
-    del workers  # reference API parity; vectorized numpy instead
+    workers = workers if workers else 0  # 0 -> all threads (native)
     # symmetrized degree/adjacency for structural identity
     src, dst, _ = graph.edges()
     und = {}
@@ -211,7 +213,7 @@ def build_context_graph(graph, max_layers=None, opt1=True, opt2=True,
             pv = np.array([p[1] for p in pairs], dtype=np.int64)
             ml = min(max_layers, V)
             dist, nlay = native_struc2vec_distances(
-                row_ptr, col_idx, pu, pv, ml
+                row_ptr, col_idx, pu, pv, ml, workers=workers
             )
             for i, (u, v) in enumerate(pairs):
                 common = int(nlay[i])

@@ -54,6 +54,7 @@ def _load():
             ctypes.c_int64,  # max_layers
             ctypes.POINTER(ctypes.c_double),  # out_dist
             ctypes.POINTER(ctypes.c_int64),  # out_nlayers
+            ctypes.c_int64,  # n_threads
         ]
     return _LIB
 
@@ -84,12 +85,17 @@ def native_build_row_alias(row_ptr, weights):
 
 
 def native_struc2vec_distances(row_ptr, col_idx, pairs_u, pairs_v,
-                               max_layers):
+                               max_layers, workers=1):
     """Cumulative struc2vec DTW distances for (u, v) pairs — C++ path.
 
     CSR must be the symmetrized adjacency. Returns
     (dist [n_pairs, max_layers] float64, -1 padded; n_layers [n_pairs]).
+    `workers`: threads for the per-root BFS and per-pair DTW loops
+    (the reference's `workers=N` joblib role); 0 -> all hardware
+    threads.
     """
+    if not workers:
+        workers = os.cpu_count() or 1
     lib = _load()
     rp = np.ascontiguousarray(row_ptr, dtype=np.int64)
     ci = np.ascontiguousarray(col_idx, dtype=np.int64)
@@ -108,6 +114,7 @@ def native_struc2vec_distances(row_ptr, col_idx, pairs_u, pairs_v,
         ctypes.c_int64(max_layers),
         dist.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         nlay.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(int(workers)),
     )
     return dist, nlay
 

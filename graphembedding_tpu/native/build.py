@@ -21,6 +21,7 @@ def build(force: bool = False) -> str:
                 "-march=native",
                 "-shared",
                 "-fPIC",
+                "-pthread",
                 "-std=c++17",
                 _SRC,
                 "-o",

@@ -8,6 +8,7 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -144,69 +145,109 @@ extern "C" {
 // cumulative layer distances into out_dist[p * max_layers + k]
 // (untouched layers stay at -1) and the number of common layers into
 // out_nlayers[p]. opt1 (RLE) semantics always on (reference default).
+// n_threads: worker threads for the (independent) per-root BFS and
+// per-pair DTW loops; <= 1 runs single-threaded. This is where the
+// reference's `workers=N` lands (its joblib pool did the same job).
 void struc2vec_distances(const int64_t* row_ptr, const int64_t* col_idx,
                          int64_t num_nodes, const int64_t* pu,
                          const int64_t* pv, int64_t n_pairs,
                          int64_t max_layers, double* out_dist,
-                         int64_t* out_nlayers) {
+                         int64_t* out_nlayers, int64_t n_threads) {
   // degrees
   std::vector<int64_t> deg(num_nodes);
   for (int64_t v = 0; v < num_nodes; ++v)
     deg[v] = row_ptr[v + 1] - row_ptr[v];
 
-  // BFS degree lists for every node. `visited[x] == root` marks x
-  // visited in the current BFS (epoch trick, no per-root reset).
+  if (n_threads < 1) n_threads = 1;
+  const int64_t nt_bfs =
+      std::min<int64_t>(n_threads, std::max<int64_t>(num_nodes, 1));
+
+  // BFS degree lists for every node, roots striped across threads.
+  // `visited[x] == root` marks x visited in the current BFS (epoch
+  // trick, no per-root reset); each thread owns its scratch vectors.
   std::vector<std::vector<std::vector<double>>> lists(num_nodes);
-  std::vector<int64_t> frontier, next;
-  std::vector<int64_t> ring_degs;
-  std::vector<int64_t> visited(num_nodes, -1);
-  for (int64_t root = 0; root < num_nodes; ++root) {
-    frontier.assign(1, root);
-    visited[root] = root;
-    auto& node_layers = lists[root];
-    for (int64_t layer = 0; layer < max_layers && !frontier.empty();
-         ++layer) {
-      ring_degs.clear();
-      for (int64_t v : frontier) ring_degs.push_back(deg[v]);
-      std::sort(ring_degs.begin(), ring_degs.end());
-      std::vector<double> rle;
-      for (size_t i = 0; i < ring_degs.size();) {
-        size_t j = i;
-        while (j < ring_degs.size() && ring_degs[j] == ring_degs[i]) ++j;
-        rle.push_back(static_cast<double>(ring_degs[i]));
-        rle.push_back(static_cast<double>(j - i));
-        i = j;
-      }
-      node_layers.push_back(std::move(rle));
-      next.clear();
-      for (int64_t v : frontier) {
-        for (int64_t e = row_ptr[v]; e < row_ptr[v + 1]; ++e) {
-          const int64_t u = col_idx[e];
-          if (visited[u] != root) {
-            visited[u] = root;
-            next.push_back(u);
+  auto bfs_range = [&](int64_t lo, int64_t hi) {
+    std::vector<int64_t> frontier, next;
+    std::vector<int64_t> ring_degs;
+    std::vector<int64_t> visited(num_nodes, -1);
+    for (int64_t root = lo; root < hi; ++root) {
+      frontier.assign(1, root);
+      visited[root] = root;
+      auto& node_layers = lists[root];
+      for (int64_t layer = 0; layer < max_layers && !frontier.empty();
+           ++layer) {
+        ring_degs.clear();
+        for (int64_t v : frontier) ring_degs.push_back(deg[v]);
+        std::sort(ring_degs.begin(), ring_degs.end());
+        std::vector<double> rle;
+        for (size_t i = 0; i < ring_degs.size();) {
+          size_t j = i;
+          while (j < ring_degs.size() && ring_degs[j] == ring_degs[i])
+            ++j;
+          rle.push_back(static_cast<double>(ring_degs[i]));
+          rle.push_back(static_cast<double>(j - i));
+          i = j;
+        }
+        node_layers.push_back(std::move(rle));
+        next.clear();
+        for (int64_t v : frontier) {
+          for (int64_t e = row_ptr[v]; e < row_ptr[v + 1]; ++e) {
+            const int64_t u = col_idx[e];
+            if (visited[u] != root) {
+              visited[u] = root;
+              next.push_back(u);
+            }
           }
         }
+        frontier.swap(next);
       }
-      frontier.swap(next);
     }
+  };
+  if (nt_bfs <= 1) {
+    bfs_range(0, num_nodes);
+  } else {
+    std::vector<std::thread> ts;
+    const int64_t chunk = (num_nodes + nt_bfs - 1) / nt_bfs;
+    for (int64_t t = 0; t < nt_bfs; ++t) {
+      const int64_t lo = t * chunk;
+      const int64_t hi = std::min(num_nodes, lo + chunk);
+      if (lo < hi) ts.emplace_back(bfs_range, lo, hi);
+    }
+    for (auto& th : ts) th.join();
   }
 
-  // pair distances, cumulative over layers
-  for (int64_t p = 0; p < n_pairs; ++p) {
-    const auto& lu = lists[pu[p]];
-    const auto& lv = lists[pv[p]];
-    const int64_t common = std::min<int64_t>(
-        std::min<int64_t>(lu.size(), lv.size()), max_layers);
-    out_nlayers[p] = common;
-    double acc = 0.0;
-    for (int64_t k = 0; k < common; ++k) {
-      acc += dtw_rle_pairs(lu[k].data(),
-                           static_cast<int64_t>(lu[k].size()),
-                           lv[k].data(),
-                           static_cast<int64_t>(lv[k].size()));
-      out_dist[p * max_layers + k] = acc;
+  // pair distances, cumulative over layers; pairs striped across
+  // threads (each pair writes disjoint output rows)
+  auto pair_range = [&](int64_t lo, int64_t hi) {
+    for (int64_t p = lo; p < hi; ++p) {
+      const auto& lu = lists[pu[p]];
+      const auto& lv = lists[pv[p]];
+      const int64_t common = std::min<int64_t>(
+          std::min<int64_t>(lu.size(), lv.size()), max_layers);
+      out_nlayers[p] = common;
+      double acc = 0.0;
+      for (int64_t k = 0; k < common; ++k) {
+        acc += dtw_rle_pairs(lu[k].data(),
+                             static_cast<int64_t>(lu[k].size()),
+                             lv[k].data(),
+                             static_cast<int64_t>(lv[k].size()));
+        out_dist[p * max_layers + k] = acc;
+      }
     }
+  };
+  const int64_t nt_pair =
+      std::min<int64_t>(n_threads, std::max<int64_t>(n_pairs, 1));
+  if (nt_pair <= 1) {
+    pair_range(0, n_pairs);
+  } else {
+    std::vector<std::thread> ts;
+    const int64_t chunk = (n_pairs + nt_pair - 1) / nt_pair;
+    for (int64_t t = 0; t < nt_pair; ++t) {
+      const int64_t lo = t * chunk;
+      const int64_t hi = std::min(n_pairs, lo + chunk);
+      if (lo < hi) ts.emplace_back(pair_range, lo, hi);
+    }
+    for (auto& th : ts) th.join();
   }
 }
 

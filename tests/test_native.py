@@ -40,3 +40,25 @@ def test_native_dtw_matches_python():
     got = native.native_dtw(a_rle.reshape(-1), b_rle.reshape(-1),
                             opt1=True)
     assert got == pytest.approx(want, rel=1e-9)
+
+
+def test_struc2vec_distances_thread_invariant():
+    """The threaded C++ context-graph pipeline (workers=N) produces
+    exactly the single-thread result — per-root BFS and per-pair DTW
+    are independent, so striping them across threads must not change
+    a single distance."""
+    import numpy as np
+
+    from graphembedding_tpu.data.datasets import synthetic_wiki
+    from graphembedding_tpu.models.struc2vec import build_context_graph
+
+    ds = synthetic_wiki(num_nodes=150, num_classes=3, avg_degree=7,
+                        seed=2)
+    e1, n1 = build_context_graph(ds.graph, workers=1)
+    e4, n4 = build_context_graph(ds.graph, workers=4)
+    assert n1 == n4
+    assert len(e1) == len(e4)
+    for d1, d4 in zip(e1, e4):
+        assert d1.keys() == d4.keys()
+        for k in d1:
+            np.testing.assert_allclose(d1[k], d4[k], rtol=0, atol=0)
