@@ -60,6 +60,14 @@ def sharded_line_chunk(
     b_local = batch_size // n_data
     if b_local == 0:
         raise ValueError("batch_size must be >= data-axis size")
+    if batch_size % n_data:
+        # silently shrinking the global batch would desync the
+        # steps-per-epoch accounting in LINE.train (n_steps is
+        # computed from the requested batch_size)
+        raise ValueError(
+            f"batch_size ({batch_size}) must divide evenly across the "
+            f"data axis ({n_data} devices)"
+        )
     sync_every = sync_every or S
 
     def body(emb, ctx, edge_src, edge_dst, edge_accept, edge_alias,

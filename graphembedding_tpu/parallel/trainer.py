@@ -52,9 +52,16 @@ class DistributedSkipGramTrainer:
 
         walks = jnp.asarray(walks)
         NW, L = walks.shape
+        if NW < n:
+            raise ValueError(
+                f"corpus has {NW} walks but the mesh data axis has "
+                f"{n} devices — use a smaller mesh or more walks"
+            )
         # cap at NW//4 so tiny corpora keep sequential blocks per
-        # epoch (see train.skipgram), but never below the data axis
-        bw = min(cfg.block_walks, max(NW // 4, n))
+        # epoch (see train.skipgram), but never below the data axis;
+        # cap at (NW//n)*n so every device's slice holds REAL walks
+        # (dynamic_slice would silently clamp onto duplicated rows)
+        bw = min(cfg.block_walks, max(NW // 4, n), (NW // n) * n)
         from graphembedding_tpu.train.skipgram import (
             _gather_keep,
             _prepare_epoch,

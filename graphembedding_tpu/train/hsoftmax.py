@@ -275,9 +275,18 @@ class HSTrainer:
         NW, L = walks.shape
         if self.mesh is not None:
             # per-device slices must be whole MXU packs (mirrors
-            # parallel.trainer.DistributedSkipGramTrainer's rounding)
+            # parallel.trainer.DistributedSkipGramTrainer's rounding),
+            # and every device must own at least one REAL walk — a
+            # bw > NW block would make dynamic_slice clamp trailing
+            # devices onto duplicated rows silently
             n = self.mesh.shape["data"]
+            if NW < n:
+                raise ValueError(
+                    f"corpus has {NW} walks but the mesh data axis has "
+                    f"{n} devices — use a smaller mesh or more walks"
+                )
             per = max(min(self.block_walks, max(NW // 4, n)) // n, 1)
+            per = min(per, NW // n)
             pk = max(min(max(128 // L, 1), per), 1)
             bw = max((per // pk) * pk, pk) * n
         else:

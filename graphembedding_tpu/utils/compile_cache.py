@@ -58,7 +58,12 @@ def enable_persistent_cache(path: str | None = None) -> str | None:
     if _cpu_only(jax.config.jax_platforms):
         return None
     path = path or os.environ.get("JAX_COMPILATION_CACHE_DIR") or _DEFAULT_DIR
-    os.makedirs(path, exist_ok=True)
+    try:
+        os.makedirs(path, exist_ok=True)
+    except OSError:
+        # read-only filesystem / unset HOME: the cache is a pure
+        # optimization — never let it break `import graphembedding_tpu`
+        return None
     jax.config.update("jax_compilation_cache_dir", path)
     # Cache every program: the tunnel round-trip makes even sub-second
     # compiles worth persisting, and entries are a few MB at most.

@@ -22,26 +22,35 @@ import numpy as np
 
 
 def save_word2vec_format(embeddings: Dict, path: str) -> None:
-    """Write ``{node: vector}`` as word2vec text (gensim-compatible)."""
+    """Write ``{node: vector}`` as word2vec text (gensim-compatible).
+
+    All names/dims are validated BEFORE anything is written, and the
+    file is written via a temp + atomic rename — a raised ValueError
+    never leaves a truncated artifact behind.
+    """
     if not embeddings:
         raise ValueError("empty embeddings dict")
-    items = list(embeddings.items())
-    dim = int(np.asarray(items[0][1]).shape[-1])
-    with open(path, "w") as f:
+    items = []
+    dim = int(np.asarray(next(iter(embeddings.values()))).shape[-1])
+    for node, vec in embeddings.items():
+        tok = str(node)
+        if any(c.isspace() for c in tok):
+            raise ValueError(
+                f"node name {tok!r} contains whitespace; the word2vec "
+                "text format cannot represent it — use save_npz"
+            )
+        v = np.asarray(vec, dtype=np.float32).ravel()
+        if v.shape[0] != dim:
+            raise ValueError(
+                f"node {tok!r} has dim {v.shape[0]}, expected {dim}"
+            )
+        items.append((tok, v))
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
         f.write(f"{len(items)} {dim}\n")
-        for node, vec in items:
-            tok = str(node)
-            if any(c.isspace() for c in tok):
-                raise ValueError(
-                    f"node name {tok!r} contains whitespace; the word2vec "
-                    "text format cannot represent it — use save_npz"
-                )
-            v = np.asarray(vec, dtype=np.float32).ravel()
-            if v.shape[0] != dim:
-                raise ValueError(
-                    f"node {tok!r} has dim {v.shape[0]}, expected {dim}"
-                )
+        for tok, v in items:
             f.write(tok + " " + " ".join(repr(float(x)) for x in v) + "\n")
+    os.replace(tmp, path)
 
 
 def load_word2vec_format(path: str) -> Dict[str, np.ndarray]:

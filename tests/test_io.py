@@ -81,3 +81,17 @@ def test_model_embeddings_roundtrip(tmp_path):
     assert set(back) == set(emb)
     k = next(iter(emb))
     np.testing.assert_array_equal(back[k], np.asarray(emb[k]))
+
+
+def test_word2vec_failed_save_leaves_no_file(tmp_path):
+    """Validation happens before writing: a rejected dict must not
+    leave a truncated artifact behind."""
+    p = str(tmp_path / "x.txt")
+    emb = {"ok": np.zeros(3, np.float32),
+           "bad name": np.zeros(3, np.float32)}
+    with pytest.raises(ValueError):
+        save_word2vec_format(emb, p)
+    import os
+
+    assert not os.path.exists(p)
+    assert not os.path.exists(p + ".tmp")  # validation precedes writing

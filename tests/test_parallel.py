@@ -463,3 +463,35 @@ def test_struc2vec_trains_over_mesh(tmp_path):
     )
     assert np.isfinite(np.asarray(m.losses)).all()
     assert res["micro"] >= 0.4, res["micro"]  # smoke gate (tiny graph)
+
+
+def test_mesh_trainers_reject_tiny_corpora():
+    """A corpus with fewer walks than data-axis devices must error
+    loudly (a clamped dynamic_slice would silently duplicate rows)."""
+    from graphembedding_tpu.parallel.trainer import (
+        DistributedSkipGramTrainer,
+    )
+    from graphembedding_tpu.train.hsoftmax import HSTrainer
+
+    devs = len(jax.devices())
+    if devs < 2:
+        pytest.skip("needs >= 2 devices")
+    mesh = make_mesh((devs, 1))
+    walks = np.zeros((devs - 1, 5), dtype=np.int32)
+    with pytest.raises(ValueError, match="data axis"):
+        DistributedSkipGramTrainer(mesh).fit(walks, 10)
+    with pytest.raises(ValueError, match="data axis"):
+        HSTrainer(mesh=mesh).fit(walks, 10)
+
+
+def test_line_mesh_rejects_ragged_batch():
+    from graphembedding_tpu.parallel.line import sharded_line_chunk
+
+    devs = len(jax.devices())
+    if devs < 2:
+        pytest.skip("needs >= 2 devices")
+    mesh = make_mesh((devs, 1))
+    with pytest.raises(ValueError, match="divide evenly"):
+        sharded_line_chunk(mesh, chunk_steps=4,
+                           batch_size=devs * 3 + 1, negative=5,
+                           order_first=False)
