@@ -1,4 +1,8 @@
-from graphembedding_tpu.parallel.mesh import make_mesh
+from graphembedding_tpu.parallel.mesh import init_distributed, make_mesh
 from graphembedding_tpu.parallel.trainer import DistributedSkipGramTrainer
 
-__all__ = ["make_mesh", "DistributedSkipGramTrainer"]
+__all__ = [
+    "make_mesh",
+    "init_distributed",
+    "DistributedSkipGramTrainer",
+]
