@@ -369,55 +369,65 @@ class SDNE:
         nu1, nu2 = jnp.float32(self.nu1), jnp.float32(self.nu2)
         n_chunks = (V + row_chunk - 1) // row_chunk
 
-        def loss_fn(params):
-            # encoder first layer via SpMM, rest dense
-            h = jax.nn.relu(
-                A_bcoo @ params["enc"][0]["w"] + params["enc"][0]["b"]
-            )
-            for layer in params["enc"][1:]:
-                h = jax.nn.relu(h @ layer["w"] + layer["b"])
-            y = h  # [V, d]
-            l1st = alpha * 2.0 * laplacian_quadratic(
-                src, dst, w, deg_w, y
-            ) / V
-
-            def chunk_l2(carry, c):
-                lo = c * row_chunk
-                idx = lo + jnp.arange(row_chunk)
-                ok = (idx < V).astype(jnp.float32)
-                idx_s = jnp.minimum(idx, V - 1)
-                a_hat = decode(params, y[idx_s])  # [C, V]
-                nbr = nm.nbr[idx_s]
-                nbr_w = nm.nbr_w[idx_s]
-                rows = jnp.zeros((row_chunk, V + 1))
-                rows = rows.at[
-                    jnp.arange(row_chunk)[:, None],
-                    jnp.where(nbr >= 0, nbr, V),
-                ].add(nbr_w)[:, :V]
-                b_ = jnp.where(rows != 0, beta, 1.0)
-                l2 = jnp.sum(
-                    jnp.sum(jnp.square((rows - a_hat) * b_), axis=-1)
-                    * ok
-                )
-                return carry + l2, None
-
-            l2nd, _ = jax.lax.scan(
-                chunk_l2, 0.0, jnp.arange(n_chunks)
-            )
-            l2nd = l2nd / V
-            reg = 0.0
-            for stack in (params["enc"], params["dec"]):
-                for layer in stack:
-                    reg = reg + nu1 * jnp.sum(jnp.abs(layer["w"])) + (
-                        nu2 * jnp.sum(jnp.square(layer["w"]))
-                    )
-            return l2nd + l1st + reg, (l2nd, l1st)
-
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-
+        # graph arrays enter as jit ARGUMENTS, not closure constants —
+        # baked-in constants made the serialized program O(E) bytes
+        # (an HTTP 413 at 100k nodes through the compile tunnel; the
+        # dense path hit the same wall with its [V,V] A/L, see train)
         @partial(jax.jit, static_argnames="n_epochs",
                  donate_argnums=(0, 1))
-        def run_steps(params, opt_state, n_epochs):
+        def run_steps(params, opt_state, A_d, nbr, nbr_w_m, src_d,
+                      dst_d, w_d, deg_d, n_epochs):
+            def loss_fn(params):
+                # encoder first layer via SpMM, rest dense
+                h = jax.nn.relu(
+                    A_d @ params["enc"][0]["w"] + params["enc"][0]["b"]
+                )
+                for layer in params["enc"][1:]:
+                    h = jax.nn.relu(h @ layer["w"] + layer["b"])
+                y = h  # [V, d]
+                l1st = alpha * 2.0 * laplacian_quadratic(
+                    src_d, dst_d, w_d, deg_d, y
+                ) / V
+
+                def chunk_l2(carry, c):
+                    lo = c * row_chunk
+                    idx = lo + jnp.arange(row_chunk)
+                    ok = (idx < V).astype(jnp.float32)
+                    idx_s = jnp.minimum(idx, V - 1)
+                    a_hat = decode(params, y[idx_s])  # [C, V]
+                    nb = nbr[idx_s]
+                    nb_w = nbr_w_m[idx_s]
+                    rows = jnp.zeros((row_chunk, V + 1))
+                    rows = rows.at[
+                        jnp.arange(row_chunk)[:, None],
+                        jnp.where(nb >= 0, nb, V),
+                    ].add(nb_w)[:, :V]
+                    b_ = jnp.where(rows != 0, beta, 1.0)
+                    l2 = jnp.sum(
+                        jnp.sum(
+                            jnp.square((rows - a_hat) * b_), axis=-1
+                        ) * ok
+                    )
+                    return carry + l2, None
+
+                # remat: without it autodiff saves every chunk's
+                # [C, V] reconstruction as a scan residual —
+                # O(n_chunks·C·V) = 40 GB at V=100k. Recomputing a_hat
+                # in the backward pass keeps residuals O(carry)
+                l2nd, _ = jax.lax.scan(
+                    jax.checkpoint(chunk_l2), 0.0, jnp.arange(n_chunks)
+                )
+                l2nd = l2nd / V
+                reg = 0.0
+                for stack in (params["enc"], params["dec"]):
+                    for layer in stack:
+                        reg = reg + nu1 * jnp.sum(
+                            jnp.abs(layer["w"])
+                        ) + nu2 * jnp.sum(jnp.square(layer["w"]))
+                return l2nd + l1st + reg, (l2nd, l1st)
+
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
             def step(carry, _):
                 params, opt_state = carry
                 (loss, aux), grads = grad_fn(params)
@@ -431,7 +441,8 @@ class SDNE:
             return params, opt_state, losses
 
         self.params, opt_state, self.losses = run_steps(
-            self.params, opt_state, epochs
+            self.params, opt_state, A_bcoo, nm.nbr, nm.nbr_w,
+            src, dst, w, deg_w, epochs
         )
         self._embeddings = None
         return self
