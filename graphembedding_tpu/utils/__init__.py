@@ -1,3 +1,9 @@
+from graphembedding_tpu.utils.debug import (
+    checked,
+    debug_guard,
+    validate_graph,
+    validate_walks,
+)
 from graphembedding_tpu.utils.io import (
     load_npz,
     load_word2vec_format,
@@ -22,4 +28,8 @@ __all__ = [
     "partition_dict",
     "partition_list",
     "partition_num",
+    "validate_graph",
+    "validate_walks",
+    "checked",
+    "debug_guard",
 ]
