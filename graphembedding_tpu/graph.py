@@ -142,6 +142,16 @@ class Graph:
         self._alias: Optional[AliasTables] = None
         self._host_alias = None
 
+        # opt-in sanitizer (utils.debug): every constructed graph is
+        # invariant-checked when GE_TPU_VALIDATE is set — XLA clamps
+        # bad indices silently, so corruption is otherwise invisible
+        import os
+
+        if os.environ.get("GE_TPU_VALIDATE"):
+            from graphembedding_tpu.utils.debug import validate_graph
+
+            validate_graph(self)
+
     # ------------------------------------------------------------------ #
     # constructors
     # ------------------------------------------------------------------ #

@@ -264,6 +264,12 @@ class HSTrainer:
 
         if key is None:
             key = jax.random.PRNGKey(self.seed)
+        import os
+
+        if os.environ.get("GE_TPU_VALIDATE"):
+            from graphembedding_tpu.utils.debug import validate_walks
+
+            validate_walks(np.asarray(walks), num_nodes)
         counts = corpus_counts(walks, num_nodes)
         # Huffman tree over RAW counts (gensim builds the vocab first)
         keep = subsample_keep_probs(counts, self.sample)

@@ -664,6 +664,12 @@ class SkipGramTrainer:
             key = jax.random.PRNGKey(cfg.seed)
         k_init, k_shuf, k_train, k_sub = jax.random.split(key, 4)
 
+        import os
+
+        if os.environ.get("GE_TPU_VALIDATE"):
+            from graphembedding_tpu.utils.debug import validate_walks
+
+            validate_walks(np.asarray(walks), num_nodes)
         walks = jnp.asarray(walks)
         NW, L = walks.shape
         # round the block to a multiple of the packing factor P=128//L

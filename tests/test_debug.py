@@ -139,3 +139,19 @@ def test_debug_guard_restores_config():
     with pytest.raises(FloatingPointError):
         with debug_guard(nans=True):
             jnp.log(jnp.float32(-1.0)).block_until_ready()
+
+
+def test_env_gated_validation(monkeypatch):
+    """GE_TPU_VALIDATE wires the validators into Graph + trainers."""
+    monkeypatch.setenv("GE_TPU_VALIDATE", "1")
+    g = _ring()  # constructs cleanly under validation
+
+    from graphembedding_tpu.train.skipgram import (
+        SkipGramConfig,
+        SkipGramTrainer,
+    )
+
+    bad = np.array([[0, 99, 1, -1]], np.int32)  # token >= V
+    tr = SkipGramTrainer(SkipGramConfig(embed_size=4, epochs=1))
+    with pytest.raises(ValueError, match="outside"):
+        tr.fit(bad, g.num_nodes)
