@@ -136,40 +136,38 @@ def sharded_hs_chunk(
                 preferred_element_type=jnp.float32,
             ).reshape(G, PL, T, Dl)
 
-            # per-row accumulation cap, occupancy riding the scatter
-            # (identical math to train.hsoftmax — the count column is
-            # replicated across model shards so scales agree)
+            # per-row accumulation cap, occupancy through separate 1-D
+            # scatters (identical math to train.hsoftmax; the riding-
+            # column form paid two gradient-tensor concatenate copies
+            # per step — see the note there. The occupancy vectors are
+            # computed from indices/mask only, so the scales agree
+            # across model shards)
             cap = jnp.float32(update_cap)
             flat = tok_safe.reshape(-1)
-            d_tok = jnp.concatenate(
-                [d_yin.reshape(-1, Dl),
-                 jnp.ones((G * PL, 1), jnp.float32)],
-                axis=1,
-            )
-            tbuf = (
-                jnp.zeros((V, Dl + 1), jnp.float32).at[flat].add(d_tok)
+            occ_t = jnp.zeros((V,), jnp.float32).at[flat].add(1.0)
+            tbuf = jnp.zeros((V, Dl), jnp.float32).at[flat].add(
+                d_yin.reshape(-1, Dl)
             )
             tok_scale = jnp.minimum(
-                1.0, cap / jnp.maximum(tbuf[:, Dl], 1.0)
+                1.0, cap / jnp.maximum(occ_t, 1.0)
             )[:, None]
             n_pairs_ctx = jnp.sum(mask, axis=1)
             tflat = pts_safe.reshape(-1)
             tweight = jnp.broadcast_to(
                 n_pairs_ctx[:, :, None], pts_safe.shape
             ).reshape(-1) * pts_ok.reshape(-1)
-            d_tr = jnp.concatenate(
-                [d_tree.reshape(-1, Dl), tweight[:, None]], axis=1
+            occ_r = jnp.zeros((n_inner,), jnp.float32).at[tflat].add(
+                tweight
             )
-            rbuf = (
-                jnp.zeros((n_inner, Dl + 1), jnp.float32)
-                .at[tflat].add(d_tr)
+            rbuf = jnp.zeros((n_inner, Dl), jnp.float32).at[tflat].add(
+                d_tree.reshape(-1, Dl)
             )
             tree_scale = jnp.minimum(
-                1.0, cap / jnp.maximum(rbuf[:, Dl], 1.0)
+                1.0, cap / jnp.maximum(occ_r, 1.0)
             )[:, None]
 
-            w_in = w_in + lr * tbuf[:, :Dl] * tok_scale
-            w_tree = w_tree + lr * rbuf[:, :Dl] * tree_scale
+            w_in = w_in + lr * tbuf * tok_scale
+            w_tree = w_tree + lr * rbuf * tree_scale
 
             # hogwild-parity sum of per-replica deltas (see module
             # docstring)

@@ -185,34 +185,39 @@ def hs_block_chunk(
             preferred_element_type=jnp.float32,
         ).reshape(G, PL, T, D)  # per (context m, level t)
 
-        # per-row accumulation cap, with occupancy counts riding the
-        # gradient scatter as an extra column (one scatter round instead
-        # of scatter+gather per table — see train.skipgram)
+        # per-row accumulation cap. Occupancy goes through SEPARATE 1-D
+        # [V]/[n_inner] scatters (the fast scatter pattern — see
+        # skipgram's sparse_cap note) rather than riding the gradient
+        # scatter as an extra column: the riding column forces a
+        # concatenate COPY of the [G·PL·T, D] gradient tensor (~49 MB
+        # at wiki shapes, twice per step), which ablation showed was
+        # most of the cap's 0.58 ms/step cost; this form measures
+        # 1.94 -> 1.5 ms/step at wiki vocab (same math — the cap scale
+        # is constant per row either way)
         cap = jnp.float32(update_cap)
         flat = tok_safe.reshape(-1)
-        d_tok = jnp.concatenate(
-            [d_yin.reshape(-1, D), jnp.ones((G * PL, 1), jnp.float32)],
-            axis=1,
+        occ_t = jnp.zeros((V,), jnp.float32).at[flat].add(1.0)
+        tbuf = jnp.zeros((V, D), jnp.float32).at[flat].add(
+            d_yin.reshape(-1, D)
         )
-        tbuf = jnp.zeros((V, D + 1), jnp.float32).at[flat].add(d_tok)
         tok_scale = jnp.minimum(
-            1.0, cap / jnp.maximum(tbuf[:, D], 1.0)
+            1.0, cap / jnp.maximum(occ_t, 1.0)
         )[:, None]
         n_pairs_ctx = jnp.sum(mask, axis=1)  # pairs per context
         tflat = pts_safe.reshape(-1)
         tweight = jnp.broadcast_to(
             n_pairs_ctx[:, :, None], pts_safe.shape
         ).reshape(-1) * pts_ok.reshape(-1)
-        d_tr = jnp.concatenate(
-            [d_tree.reshape(-1, D), tweight[:, None]], axis=1
+        occ_r = jnp.zeros((n_inner,), jnp.float32).at[tflat].add(tweight)
+        rbuf = jnp.zeros((n_inner, D), jnp.float32).at[tflat].add(
+            d_tree.reshape(-1, D)
         )
-        rbuf = jnp.zeros((n_inner, D + 1), jnp.float32).at[tflat].add(d_tr)
         tree_scale = jnp.minimum(
-            1.0, cap / jnp.maximum(rbuf[:, D], 1.0)
+            1.0, cap / jnp.maximum(occ_r, 1.0)
         )[:, None]
 
-        w_in = w_in + lr * tbuf[:, :D] * tok_scale
-        w_tree = w_tree + lr * rbuf[:, :D] * tree_scale
+        w_in = w_in + lr * tbuf * tok_scale
+        w_tree = w_tree + lr * rbuf * tree_scale
 
         # loss: -log sigmoid((2·label - 1) · logit) summed over path
         sgn = 2.0 * label.reshape(G, 1, N) - 1.0
