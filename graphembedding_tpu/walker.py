@@ -56,20 +56,71 @@ class RandomWalker:
 class BiasedWalker:
     """Struc2Vec multilayer walker (reference surface).
 
-    The reference version reads pickled alias tables from `temp_path`;
-    here the context-graph layers are built (or loaded from the
-    content-hash cache) by `models.struc2vec`. Prefer using the
-    `Struc2Vec` model directly; this shim exists for API parity.
+    Reference counterpart: `ge/walker.py — BiasedWalker (~L175) [U]`,
+    which reads pickled per-layer alias tables from `temp_path`. Here
+    the context-graph layers are the stacked-CSR dict built by
+    `models.struc2vec.build_layer_csr` (and cached by the `Struc2Vec`
+    model as `context_*.pkl` under `temp_path`); `simulate_walks` runs
+    the same biased multilayer walk as the reference, but batched on
+    device (`models.struc2vec.multilayer_walks`).
+
+    Layers are resolved in order: an explicit `layers=` dict passed to
+    the constructor, else the newest `context_*.pkl` cache file in
+    `temp_path`.
     """
 
-    def __init__(self, idx2node, temp_path):
+    def __init__(self, idx2node, temp_path, layers=None):
         self.idx2node = idx2node
         self.temp_path = temp_path
+        self._layers = layers
+
+    def _resolve_layers(self):
+        if self._layers is not None:
+            return self._layers
+        import glob
+        import os
+        import pickle
+
+        cands = sorted(
+            glob.glob(os.path.join(self.temp_path, "context_*.pkl")),
+            key=os.path.getmtime,
+        )
+        if not cands:
+            raise FileNotFoundError(
+                f"no context_*.pkl layer cache under {self.temp_path!r}; "
+                "construct Struc2Vec(graph, temp_path=...) first (it "
+                "builds and caches the context graph), or pass layers= "
+                "(the models.struc2vec.build_layer_csr dict) directly"
+            )
+        with open(cands[-1], "rb") as f:
+            self._layers = pickle.load(f)
+        return self._layers
 
     def simulate_walks(self, num_walks, walk_length, stay_prob=0.3,
                        workers=1, verbose=0):
-        raise NotImplementedError(
-            "use graphembedding_tpu.models.Struc2Vec, which runs the "
-            "multilayer walks on device (models/struc2vec.py — "
-            "multilayer_walks)"
+        del workers, verbose
+        import jax.numpy as jnp
+
+        from graphembedding_tpu.models.struc2vec import multilayer_walks
+
+        layers = {
+            k: jnp.asarray(v) for k, v in self._resolve_layers().items()
+        }
+        V = int(layers["row_ptr"].shape[1]) - 1
+        starts = jnp.tile(jnp.arange(V, dtype=jnp.int32), num_walks)
+        walks = multilayer_walks(
+            layers["row_ptr"],
+            layers["col_idx"],
+            layers["accept"],
+            layers["alias"],
+            layers["gamma"],
+            starts,
+            jax.random.PRNGKey(0),
+            jnp.float32(stay_prob),
+            length=walk_length,
         )
+        idx2node = self.idx2node
+        return [
+            [idx2node[i] for i in row if i >= 0]
+            for row in np.asarray(walks)
+        ]

@@ -37,6 +37,24 @@ def test_random_walker_sentences():
     assert len(s2) == 50
 
 
+def test_biased_walker_sentences(tmp_path):
+    """BiasedWalker reads the Struc2Vec layer cache from temp_path and
+    returns node-name sentences (`ge/walker.py — BiasedWalker (~L185)
+    [U]`)."""
+    ds = synthetic_wiki(num_nodes=24, num_classes=2, avg_degree=4,
+                        seed=15)
+    tp = str(tmp_path) + "/"
+    # builds + caches the context graph into temp_path
+    ge.Struc2Vec(ds.graph, walk_length=4, num_walks=1, temp_path=tp)
+    vocab = ds.graph.vocab
+    idx2node = [vocab.idx2node[i] for i in range(ds.graph.num_nodes)]
+    bw = ge.BiasedWalker(idx2node, tp)
+    sentences = bw.simulate_walks(num_walks=2, walk_length=5)
+    assert len(sentences) == 48
+    assert all(len(s) == 5 for s in sentences)
+    assert all(tok in vocab.node2idx for s in sentences for tok in s)
+
+
 def test_partition_helpers():
     assert partition_num(10, 2) == [5, 5]
     assert partition_num(10, 3) == [3, 3, 3, 1]
