@@ -118,7 +118,12 @@ def measure_cpu_baseline(max_seconds=20.0):
 
     Vectorized numpy batch updates — strictly faster than the
     reference's actual per-pair Python/Cython path would be here, so the
-    reported speedup is conservative.
+    reported speedup is conservative. A true gensim `word2vec_inner`
+    baseline is not possible in this environment: gensim is neither
+    baked into the image nor installable (`import gensim` fails; package
+    installs are disallowed and there is no network egress), so this
+    synthetic numpy SGNS stands in and the JSON labels it as such
+    (`baseline: synthetic-numpy-sgns`).
     """
     rng = np.random.default_rng(0)
     V, D, B, K = 2405, 128, 1024, 5
@@ -151,6 +156,18 @@ def measure_cpu_baseline(max_seconds=20.0):
 def main():
     walk_eps, pairs_per_s, micro_f1 = measure_tpu()
     baseline = measure_cpu_baseline()
+
+    # analytic roofline of the measured step shape (BASELINE's
+    # "speed-of-light per chip" evidence): % of the kernel's
+    # compute/memory ceiling the measured rate achieves
+    from graphembedding_tpu.train.skipgram import SkipGramConfig
+    from graphembedding_tpu.utils.profiling import sgns_roofline
+
+    cfg = SkipGramConfig()
+    roof = sgns_roofline(
+        block_walks=cfg.block_walks, walk_len=10, window=cfg.window,
+        k_shared=cfg.k_shared, embed_dim=cfg.embed_size,
+    )
     print(
         json.dumps(
             {
@@ -160,8 +177,22 @@ def main():
                 "vs_baseline": round(pairs_per_s / baseline, 2),
                 "extras": {
                     "walked_edges_per_s": round(walk_eps),
+                    "baseline": "synthetic-numpy-sgns",
+                    "baseline_note": (
+                        "gensim is not installable in this image "
+                        "(no egress); vectorized numpy SGNS stands in, "
+                        "so vs_baseline is a LOWER bound on the speedup "
+                        "over the reference's gensim/Cython stack"
+                    ),
                     "cpu_baseline_pairs_per_s": round(baseline),
                     "wiki_micro_f1": round(float(micro_f1), 4),
+                    "roofline_pairs_per_s": round(
+                        roof.pairs_per_s_ceiling
+                    ),
+                    "pct_of_roofline": round(
+                        100.0 * pairs_per_s / roof.pairs_per_s_ceiling, 1
+                    ),
+                    "roofline_bound": roof.bound,
                 },
             }
         )

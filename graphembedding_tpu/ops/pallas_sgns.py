@@ -15,12 +15,18 @@ Division of labor on TPU hardware:
 
 Layout matches `train.skipgram.sgns_block_chunk`'s packed formulation:
 P = 128//L walks per group, PL = P·L positions, K shared negatives per
-group. Inputs are the already-gathered rows; outputs are the gradient
-blocks the caller scatter-adds. Grid is over groups.
+group. Negative sharing (`neg_share_packs` = r > 1) is supported: vn is
+[G2, K, D] with r = G // G2 consecutive packing groups sharing one
+negative set. The grid stays over the G packing groups; the shared
+`d_vn` block is ACCUMULATED across the r consecutive grid steps that
+revisit it (TPU Pallas keeps an output block resident in VMEM while
+consecutive grid indices map to the same block, so the accumulation
+never round-trips HBM).
 
-`sgns_block_grads(...)` is the public entry; `use_pallas=False` falls
-back to the identical pure-XLA einsum path (also used as the
-correctness oracle in tests via `interpret=True`).
+Inputs are the already-gathered rows; outputs are the gradient blocks
+the caller scatter-adds. `sgns_block_grads_xla` is the identical-math
+pure-XLA einsum path (the default, and the correctness oracle in tests
+via `interpret=True`).
 """
 
 from __future__ import annotations
@@ -34,12 +40,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(yin_ref, yout_ref, vn_ref, mask_ref, negok_ref, out_din,
-            out_dout, out_dvn, out_loss, *, neg_w):
+            out_dout, out_dvn, out_loss, *, neg_w, r):
     yin = yin_ref[0]  # [PL, D]
     yout = yout_ref[0]
-    vn = vn_ref[0]  # [K, D]
+    vn = vn_ref[0]  # [K, D] (shared by r consecutive groups)
     mask = mask_ref[0]  # [PL, PL] f32
-    neg_ok = negok_ref[0]  # [PL, K] f32
+    neg_ok = negok_ref[0]  # [PL, K] f32 — this group's slice
 
     logits = jax.lax.dot_general(
         yin, yout, (((1,), (1,)), ((), ())),
@@ -72,7 +78,21 @@ def _kernel(yin_ref, yout_ref, vn_ref, mask_ref, negok_ref, out_din,
 
     out_din[0] = d_yin
     out_dout[0] = d_yout
-    out_dvn[0] = d_vn
+    if r == 1:
+        out_dvn[0] = d_vn
+    else:
+        # r consecutive grid steps revisit the same [K, D] output
+        # block: zero it on the group's first visit, accumulate after
+        g = pl.program_id(0)
+
+        @pl.when(g % r == 0)
+        def _init():
+            out_dvn[0] = d_vn
+
+        @pl.when(g % r != 0)
+        def _acc():
+            out_dvn[0] += d_vn
+
     loss = -(
         jnp.sum(jax.lax.select(
             mask > 0,
@@ -92,37 +112,55 @@ def sgns_block_grads_pallas(yin, yout, vn, mask, neg_ok, neg_w,
                             *, interpret=False):
     """Fused gradient blocks for packed SGNS groups.
 
-    Shapes: yin/yout [G, PL, D], vn [G, K, D], mask [G, PL, PL] f32,
-    neg_ok [G, PL, K] f32. Returns (d_yin, d_yout, d_vn [G,K,D],
-    loss_sum [G]).
+    Shapes: yin/yout [G, PL, D], mask [G, PL, PL] f32; vn [G2, K, D]
+    and neg_ok [G2, (G//G2)*PL, K] f32 where G2 divides G — when
+    G2 < G, r = G // G2 consecutive packing groups share one negative
+    set (train.skipgram `neg_share_packs`). Returns (d_yin, d_yout,
+    d_vn [G2, K, D], loss_sum [G]).
+
+    Note on the per-group loss split when r > 1: each group's loss
+    entry carries ITS OWN slice of the shared-negative loss, while the
+    XLA oracle spreads the sharing group's negative loss evenly over
+    its r members — the [G]-sums over any sharing group (and the total)
+    are identical, the per-entry split differs. Callers reduce the sum.
     """
     G, PL, D = yin.shape
-    K = vn.shape[1]
+    G2, K, _ = vn.shape
+    if G % G2:
+        raise ValueError(f"G ({G}) must be a multiple of G2 ({G2})")
+    r = G // G2
 
     grid = (G,)
     spec3 = lambda a, b: pl.BlockSpec(  # noqa: E731
         (1, a, b), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
     )
+    vn_spec = pl.BlockSpec(
+        (1, K, D), lambda g: (g // r, 0, 0), memory_space=pltpu.VMEM
+    )
+    negok_spec = pl.BlockSpec(
+        (1, PL, K), lambda g: (g // r, g % r, 0),
+        memory_space=pltpu.VMEM,
+    )
     d_yin, d_yout, d_vn, loss = pl.pallas_call(
-        partial(_kernel, neg_w=float(neg_w)),
+        partial(_kernel, neg_w=float(neg_w), r=r),
         grid=grid,
         in_specs=[
             spec3(PL, D),
             spec3(PL, D),
-            spec3(K, D),
+            vn_spec,
             spec3(PL, PL),
-            spec3(PL, K),
+            negok_spec,
         ],
         out_specs=[
             spec3(PL, D),
             spec3(PL, D),
-            spec3(K, D),
+            vn_spec,
             spec3(8, 128),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((G, PL, D), jnp.float32),
             jax.ShapeDtypeStruct((G, PL, D), jnp.float32),
-            jax.ShapeDtypeStruct((G, K, D), jnp.float32),
+            jax.ShapeDtypeStruct((G2, K, D), jnp.float32),
             jax.ShapeDtypeStruct((G, 8, 128), jnp.float32),
         ],
         interpret=interpret,

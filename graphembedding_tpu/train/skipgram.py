@@ -445,10 +445,6 @@ def sgns_block_chunk_cat(
         )
 
         if use_pallas:
-            if nsp != 1:
-                raise NotImplementedError(
-                    "use_pallas requires neg_share_packs=1"
-                )
             d_yin, d_yout, d_vn, loss_g = sgns_block_grads_pallas(
                 yin, yout, vn, mask, neg_ok, float(negative) / K
             )
@@ -664,9 +660,9 @@ class SkipGramTrainer:
             key = jax.random.PRNGKey(cfg.seed)
         k_init, k_shuf, k_train, k_sub = jax.random.split(key, 4)
 
-        import os
+        from graphembedding_tpu.utils.debug import validation_enabled
 
-        if os.environ.get("GE_TPU_VALIDATE"):
+        if validation_enabled():
             from graphembedding_tpu.utils.debug import validate_walks
 
             validate_walks(np.asarray(walks), num_nodes)
