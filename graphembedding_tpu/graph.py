@@ -145,9 +145,9 @@ class Graph:
         # opt-in sanitizer (utils.debug): every constructed graph is
         # invariant-checked when GE_TPU_VALIDATE is set — XLA clamps
         # bad indices silently, so corruption is otherwise invisible
-        import os
+        from graphembedding_tpu.utils.debug import validation_enabled
 
-        if os.environ.get("GE_TPU_VALIDATE"):
+        if validation_enabled():
             from graphembedding_tpu.utils.debug import validate_graph
 
             validate_graph(self)

@@ -188,7 +188,11 @@ def node2vec_walks(
         # Pad candidates (-1) equal pad neighbors (-1) harmlessly:
         # `valid` masks them out of the score below.
         nbr_prev = nbr[_safe(prev)]  # [B, D]
-        C = 8
+        # chunk width never exceeds the neighbor-matrix width, so the
+        # dynamic_slice below stays in-bounds even for callers passing
+        # an unpadded narrow matrix (Graph.neighbor_matrix lane-pads to
+        # 128, but this kernel is public API)
+        C = min(8, D)
         n_chunks = (D + C - 1) // C
 
         def mem_chunk(j, acc):

@@ -269,9 +269,9 @@ class HSTrainer:
 
         if key is None:
             key = jax.random.PRNGKey(self.seed)
-        import os
+        from graphembedding_tpu.utils.debug import validation_enabled
 
-        if os.environ.get("GE_TPU_VALIDATE"):
+        if validation_enabled():
             from graphembedding_tpu.utils.debug import validate_walks
 
             validate_walks(np.asarray(walks), num_nodes)

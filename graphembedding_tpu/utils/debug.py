@@ -26,9 +26,19 @@ layer:
 
 from __future__ import annotations
 
+import os
 from contextlib import contextmanager
 
 import numpy as np
+
+
+def validation_enabled() -> bool:
+    """Single home for the GE_TPU_VALIDATE opt-in gate.
+
+    Read at each call site (not import time) so tests and long-lived
+    sessions can toggle validation without reimporting.
+    """
+    return bool(os.environ.get("GE_TPU_VALIDATE"))
 
 
 def validate_graph(g) -> None:
