@@ -70,6 +70,60 @@ def decode(params, y):
     return _mlp(params["dec"], y)
 
 
+def _run_checkpointed(run_epochs, params, opt_state, epochs,
+                      checkpoint_dir, checkpoint_every):
+    """Shared chunked-epoch driver with Orbax checkpoint/resume: a
+    single compiled scan when not checkpointing, otherwise chunked at
+    the checkpoint cadence (one compiled program per distinct chunk
+    length). `run_epochs(params, opt_state, start, n)` runs n epochs.
+    Used by both the dense `SDNE.train` and `SDNE.train_sparse`."""
+    import os
+
+    from graphembedding_tpu.utils.checkpoint import (
+        load_state,
+        save_state,
+    )
+
+    start = 0
+    if checkpoint_dir and os.path.exists(
+        os.path.abspath(checkpoint_dir)
+    ):
+        template = {
+            "params": params,
+            "opt_state": opt_state,
+            "epoch": np.asarray(0),
+        }
+        st = load_state(checkpoint_dir, template)
+        params = st["params"]
+        opt_state = st["opt_state"]
+        start = int(st["epoch"])
+    all_losses = []
+    chunk = (
+        checkpoint_every
+        if (checkpoint_dir and checkpoint_every)
+        else max(epochs - start, 1)
+    )
+    e = start
+    while e < epochs:
+        n = min(chunk, epochs - e)
+        params, opt_state, losses = run_epochs(
+            params, opt_state, e, n
+        )
+        all_losses.append(losses)
+        e += n
+        if checkpoint_dir and checkpoint_every:
+            save_state(checkpoint_dir, {
+                "params": params,
+                "opt_state": opt_state,
+                "epoch": np.asarray(e),
+            })
+    losses = (
+        jnp.concatenate(all_losses) if all_losses
+        else jnp.zeros((0,), jnp.float32)
+    )
+    return params, opt_state, losses
+
+
 def sdne_loss(params, a_rows, l_block, alpha, beta, nu1, nu2):
     """Reference-exact objective on one batch (rows of A + L sub-block)."""
     y = encode(params, a_rows)
@@ -165,7 +219,6 @@ class SDNE:
         mode — parallel/sdne.py; same objective and updates as the
         single-device run)."""
         del initial_epoch, verbose
-        import numpy as _np
         V = self.graph.num_nodes
         tx = optax.adam(learning_rate)
         opt_state = tx.init(self.params)
@@ -194,8 +247,7 @@ class SDNE:
             padded = pad_rows(jnp.asarray(A), jnp.asarray(L), V, n_data)
             _fns = {}
 
-            def run_epochs(params, opt_state, A_d, L_d, start, n):
-                del A_d, L_d  # sharded path uses the padded copies
+            def run_epochs(params, opt_state, start, n):
                 if n not in _fns:
                     _fns[n] = sharded_sdne_train(
                         mesh, tx, num_nodes=V, alpha=self.alpha,
@@ -232,7 +284,9 @@ class SDNE:
             # A/L as device ARGUMENTS, not closure constants — 23 MB
             # [V, V] constants baked into a scanned executable blew
             # compile time up ~10x (measured)
-            def run_epochs(params, opt_state, A_d, L_d, start, n):
+            A_d, L_d = jnp.asarray(A), jnp.asarray(L)
+
+            def run_epochs(params, opt_state, start, n):
                 return run_full(params, opt_state, A_d, L_d, n)
         else:
             steps = (V + batch_size - 1) // batch_size
@@ -285,61 +339,24 @@ class SDNE:
             # so resumed runs draw fresh (not replayed-from-0) shuffles
 
             # A/L as device args, not closure constants (see above)
-            def run_epochs(params, opt_state, A_d, L_d, start, n):
+            A_d, L_d = jnp.asarray(A), jnp.asarray(L)
+
+            def run_epochs(params, opt_state, start, n):
                 return run_mini(
                     params, opt_state, A_d, L_d,
                     jax.random.fold_in(key, start), n
                 )
-        # shared epoch loop: single scan when not checkpointing,
-        # chunked at the checkpoint cadence otherwise
-        from graphembedding_tpu.utils.checkpoint import (
-            load_state,
-            save_state,
-        )
-        import os
 
-        A_d, L_d = jnp.asarray(A), jnp.asarray(L)
-        start = 0
-        if checkpoint_dir and os.path.exists(
-            os.path.abspath(checkpoint_dir)
-        ):
-            template = {
-                "params": self.params,
-                "opt_state": opt_state,
-                "epoch": _np.asarray(0),
-            }
-            st = load_state(checkpoint_dir, template)
-            self.params = st["params"]
-            opt_state = st["opt_state"]
-            start = int(st["epoch"])
-        all_losses = []
-        chunk = (
-            checkpoint_every
-            if (checkpoint_dir and checkpoint_every)
-            else max(epochs - start, 1)
-        )
-        e = start
-        while e < epochs:
-            n = min(chunk, epochs - e)
-            self.params, opt_state, losses = run_epochs(
-                self.params, opt_state, A_d, L_d, e, n
-            )
-            all_losses.append(losses)
-            e += n
-            if checkpoint_dir and checkpoint_every:
-                save_state(checkpoint_dir, {
-                    "params": self.params,
-                    "opt_state": opt_state,
-                    "epoch": _np.asarray(e),
-                })
-        self.losses = (
-            jnp.concatenate(all_losses) if all_losses
-            else jnp.zeros((0,), jnp.float32)
+        self.params, opt_state, self.losses = _run_checkpointed(
+            run_epochs, self.params, opt_state, epochs,
+            checkpoint_dir, checkpoint_every,
         )
         self._embeddings = None
         return self
 
-    def train_sparse(self, epochs=1, learning_rate=1e-3, row_chunk=512):
+    def train_sparse(self, epochs=1, learning_rate=1e-3, row_chunk=512,
+                     checkpoint_dir=None, checkpoint_every=0,
+                     mesh=None):
         """Memory-scalable trainer: never materializes dense [V, V].
 
         - encoder input layer = SpMM(A_bcoo, W1) (ops.spmm);
@@ -351,7 +368,12 @@ class SDNE:
           (ops.spmm.laplacian_quadratic) — L itself never exists.
 
         Equivalent objective to full-batch `train` (same losses); use
-        when V is too large for the dense path.
+        when V is too large for the dense path. Operational parity
+        with the dense trainer: checkpoint_dir/-every give Orbax
+        checkpoint + resume (chunked epoch scan), and mesh= runs the
+        EXACT row-sharded epoch over the 'data' axis
+        (parallel/sdne.sharded_sdne_sparse_train — neighbor-slab rows
+        plus edge-partitioned Laplacian, same objective and updates).
         """
         from graphembedding_tpu.ops.spmm import (
             adjacency_bcoo,
@@ -361,10 +383,40 @@ class SDNE:
 
         V = self.graph.num_nodes
         nm = self.graph.neighbor_matrix
-        A_bcoo = adjacency_bcoo(self.graph)
         src, dst, w, deg_w = sym_edges(self.graph)
         tx = optax.adam(learning_rate)
         opt_state = tx.init(self.params)
+
+        if mesh is not None:
+            from graphembedding_tpu.parallel.sdne import (
+                pad_sparse_inputs,
+                sharded_sdne_sparse_train,
+            )
+
+            n_data = mesh.shape["data"]
+            padded = pad_sparse_inputs(
+                nm, deg_w, src, dst, w, V, n_data, row_chunk
+            )
+            _fns = {}
+
+            def run_epochs(params, opt_state, start, n):
+                if n not in _fns:
+                    _fns[n] = sharded_sdne_sparse_train(
+                        mesh, tx, num_nodes=V, alpha=self.alpha,
+                        beta=self.beta, nu1=self.nu1, nu2=self.nu2,
+                        n_epochs=n, row_chunk=row_chunk,
+                    )
+                with mesh:
+                    return _fns[n](params, opt_state, *padded)
+
+            self.params, opt_state, self.losses = _run_checkpointed(
+                run_epochs, self.params, opt_state, epochs,
+                checkpoint_dir, checkpoint_every,
+            )
+            self._embeddings = None
+            return self
+
+        A_bcoo = adjacency_bcoo(self.graph)
         alpha, beta = jnp.float32(self.alpha), jnp.float32(self.beta)
         nu1, nu2 = jnp.float32(self.nu1), jnp.float32(self.nu2)
         n_chunks = (V + row_chunk - 1) // row_chunk
@@ -440,9 +492,15 @@ class SDNE:
             )
             return params, opt_state, losses
 
-        self.params, opt_state, self.losses = run_steps(
-            self.params, opt_state, A_bcoo, nm.nbr, nm.nbr_w,
-            src, dst, w, deg_w, epochs
+        def run_epochs(params, opt_state, start, n):
+            return run_steps(
+                params, opt_state, A_bcoo, nm.nbr, nm.nbr_w,
+                src, dst, w, deg_w, n
+            )
+
+        self.params, opt_state, self.losses = _run_checkpointed(
+            run_epochs, self.params, opt_state, epochs,
+            checkpoint_dir, checkpoint_every,
         )
         self._embeddings = None
         return self

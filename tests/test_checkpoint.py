@@ -217,3 +217,60 @@ def test_deepwalk_model_checkpoint_kwargs(tmp_path):
              checkpoint_dir=str(tmp_path / "dw_hs"),
              checkpoint_every=1)
     assert int(load_state(str(tmp_path / "dw_hs"))["step"]) > 0
+
+
+def test_sdne_sparse_checkpoint_resume_large_v(tmp_path):
+    """train_sparse resume at V >= 10k (VERDICT r1 item 7): an
+    interrupted run resumed from its Orbax checkpoint reproduces the
+    uninterrupted run's remaining per-epoch losses exactly (the sparse
+    path is deterministic and Adam state is checkpointed)."""
+    from graphembedding_tpu.data.datasets import synthetic_wiki
+    from graphembedding_tpu.models import SDNE
+
+    ds = synthetic_wiki(num_nodes=10_000, num_classes=4, avg_degree=4,
+                        seed=11)
+    kw = dict(hidden_size=[16, 8], seed=0)
+
+    m_full = SDNE(ds.graph, **kw)
+    m_full.train_sparse(epochs=4, row_chunk=64)
+    assert m_full._A is None  # dense [V, V] never built
+
+    ckpt = str(tmp_path / "sdne_sparse")
+    m_a = SDNE(ds.graph, **kw)
+    m_a.train_sparse(epochs=2, row_chunk=64, checkpoint_dir=ckpt,
+                     checkpoint_every=1)
+    m_b = SDNE(ds.graph, **kw)  # fresh process stand-in
+    m_b.train_sparse(epochs=4, row_chunk=64, checkpoint_dir=ckpt,
+                     checkpoint_every=1)
+    # resumed run executed only epochs 3..4
+    lb = np.asarray(m_b.losses)
+    assert lb.shape[0] == 2
+    np.testing.assert_allclose(
+        np.asarray(m_full.losses)[2:], lb, rtol=1e-4
+    )
+
+
+def test_sdne_sparse_mesh_checkpoint_resume(tmp_path):
+    """checkpoint/resume composes with the row-sharded sparse mesh
+    path (replicated params checkpoint + restore)."""
+    import jax
+
+    from graphembedding_tpu.data.datasets import synthetic_wiki
+    from graphembedding_tpu.models import SDNE
+    from graphembedding_tpu.parallel.mesh import make_mesh
+
+    ds = synthetic_wiki(num_nodes=80, num_classes=3, avg_degree=6,
+                        seed=2)
+    mesh = make_mesh((len(jax.devices()), 1))
+    ckpt = str(tmp_path / "sdne_sparse_mesh")
+    kw = dict(hidden_size=[16, 8], seed=0)
+    m = SDNE(ds.graph, **kw)
+    m.train_sparse(epochs=2, row_chunk=4, mesh=mesh,
+                   checkpoint_dir=ckpt, checkpoint_every=1)
+    m2 = SDNE(ds.graph, **kw)
+    m2.train_sparse(epochs=4, row_chunk=4, mesh=mesh,
+                    checkpoint_dir=ckpt, checkpoint_every=1)
+    assert np.asarray(m2.losses).shape[0] == 2
+    assert np.isfinite(
+        next(iter(m2.get_embeddings().values()))
+    ).all()

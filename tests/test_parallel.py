@@ -434,6 +434,52 @@ def test_sdne_mesh_matches_single_device():
     assert (num / np.maximum(den, 1e-9)).min() > 0.99
 
 
+def test_sdne_sparse_mesh_matches_single_device():
+    """Row-sharded train_sparse is EXACT: same per-epoch losses and
+    embeddings as the single-device sparse run (modulo f32 reduction
+    order) — the dense [V, V] A/L are never built on either path."""
+    from graphembedding_tpu.data.datasets import synthetic_wiki
+    from graphembedding_tpu.models import SDNE
+
+    ds = synthetic_wiki(num_nodes=100, num_classes=3, avg_degree=8,
+                        seed=3)
+    kw = dict(hidden_size=[32, 16], seed=0)
+    m1 = SDNE(ds.graph, **kw)
+    m1.train_sparse(epochs=8, row_chunk=8)
+    m2 = SDNE(ds.graph, **kw)
+    mesh = make_mesh((len(jax.devices()), 1))
+    m2.train_sparse(epochs=8, row_chunk=8, mesh=mesh)
+
+    assert m1._A is None and m2._A is None  # stayed sparse
+    np.testing.assert_allclose(
+        np.asarray(m1.losses), np.asarray(m2.losses), rtol=2e-3
+    )
+    e1 = np.asarray(m1.embedding_table)
+    e2 = np.asarray(m2.embedding_table)
+    num = (e1 * e2).sum(-1)
+    den = np.linalg.norm(e1, axis=-1) * np.linalg.norm(e2, axis=-1)
+    assert (num / np.maximum(den, 1e-9)).min() > 0.99
+
+
+def test_sdne_sparse_mesh_matches_dense_objective():
+    """The sharded sparse loss equals the dense full-batch loss on the
+    same params (the sparse rewrite is the identical objective)."""
+    from graphembedding_tpu.data.datasets import synthetic_wiki
+    from graphembedding_tpu.models import SDNE
+
+    ds = synthetic_wiki(num_nodes=70, num_classes=3, avg_degree=6,
+                        seed=7)
+    m_dense = SDNE(ds.graph, hidden_size=[24, 12], seed=1)
+    m_dense.train(batch_size=1024, epochs=3)
+    m_sparse = SDNE(ds.graph, hidden_size=[24, 12], seed=1)
+    mesh = make_mesh((len(jax.devices()), 1))
+    m_sparse.train_sparse(epochs=3, row_chunk=4, mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(m_dense.losses), np.asarray(m_sparse.losses),
+        rtol=2e-3,
+    )
+
+
 def test_sdne_mesh_rejects_minibatch():
     from graphembedding_tpu.data.datasets import synthetic_wiki
     from graphembedding_tpu.models import SDNE
