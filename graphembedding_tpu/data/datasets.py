@@ -58,7 +58,14 @@ class Dataset:
 
 
 def _find(*relpaths) -> Optional[str]:
-    for d in _SEARCH_DIRS:
+    # GE_TPU_REFERENCE_ROOT points at an alternate reference checkout
+    # (e.g. the mock mount in tools/parity tests); its data/ dir is
+    # searched FIRST so a populated mount always wins over synthetics
+    dirs = _SEARCH_DIRS
+    env_root = os.environ.get("GE_TPU_REFERENCE_ROOT")
+    if env_root:
+        dirs = [os.path.join(env_root, "data")] + dirs
+    for d in dirs:
         for rel in relpaths:
             p = os.path.join(d, rel)
             if os.path.exists(p):
@@ -67,7 +74,13 @@ def _find(*relpaths) -> Optional[str]:
 
 
 def _labels_from_file(path) -> Dict[str, List[str]]:
-    X, Y = read_node_label(path)
+    # the reference's flight label files carry a "node label" header
+    # row (its examples pass skip_head=True); auto-detect it so
+    # load_dataset works on the real mount files unmodified
+    with open(path) as f:
+        first = f.readline().split()
+    skip = bool(first) and first[0].lower() == "node"
+    X, Y = read_node_label(path, skip_head=skip)
     return dict(zip(X, Y))
 
 
