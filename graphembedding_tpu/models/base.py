@@ -63,7 +63,15 @@ class WalkEmbeddingModel:
         metrics=None,  # utils.metrics.MetricsLogger
         **kwargs,
     ):
-        del workers, kwargs
+        del workers
+        # forward kwargs that name SkipGramConfig fields (update_cap,
+        # chunk_steps, dp_sync_every, use_pallas, ...); anything else
+        # is accepted-and-ignored for gensim-kwarg API parity (the
+        # reference forwards **kwargs to Word2Vec)
+        import dataclasses
+
+        cfg_fields = {f.name for f in dataclasses.fields(SkipGramConfig)}
+        cfg_extra = {k: v for k, v in kwargs.items() if k in cfg_fields}
         fit_kw = dict(checkpoint_dir=checkpoint_dir,
                       checkpoint_every=checkpoint_every,
                       metrics=metrics)
@@ -94,6 +102,7 @@ class WalkEmbeddingModel:
             min_alpha=min_alpha,
             sample=sample,
             seed=self.seed,
+            **cfg_extra,
         )
         if mesh is not None:
             from graphembedding_tpu.parallel.trainer import (

@@ -55,7 +55,9 @@ def sharded_hs_chunk(
     bw_local = block_walks // n_data
     if bw_local == 0:
         raise ValueError("block_walks must be >= data-axis size")
-    sync_every = sync_every or S
+    # default cadence 4: HS at chunk cadence measured 0.83-0.88
+    # micro-F1 on the 120-node community test vs 0.96-1.00 at 4
+    sync_every = min(sync_every or 4, S)
 
     def body(w_in, w_tree, walks, points, codes, key, alpha, min_alpha,
              t0, total_steps):

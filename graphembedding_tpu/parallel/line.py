@@ -68,7 +68,10 @@ def sharded_line_chunk(
             f"batch_size ({batch_size}) must divide evenly across the "
             f"data axis ({n_data} devices)"
         )
-    sync_every = sync_every or S
+    # default cadence 4, NOT once-per-chunk: replica staleness over a
+    # whole 64-step chunk collapsed wiki-scale LINE to micro-F1 0.09
+    # (vs 0.744 at cadence 4, 0.751 at 1, 0.761 single-device)
+    sync_every = min(sync_every or 4, S)
 
     def body(emb, ctx, edge_src, edge_dst, edge_accept, edge_alias,
              neg_table, key, lr0, t0, total_steps):

@@ -122,6 +122,7 @@ class DistributedSkipGramTrainer:
                 neg_share_walks=cfg.neg_share_walks,
                 update_cap=cfg.update_cap,
                 neg_share_packs=cfg.neg_share_packs,
+                sync_every=cfg.dp_sync_every or None,
             )
 
         # sharded (global-array) checkpointing: tables are saved and

@@ -94,6 +94,12 @@ class SkipGramConfig:
     # straight into the donated table; ~3x the row issues but no
     # V-proportional streams, so it wins once V·D streams out-cost the
     # extra issues. auto picks by table size (see SkipGramTrainer.fit)
+    dp_sync_every: int = 4  # 'dp'-mode replica sync cadence in steps
+    # (parallel/sgns.py delta-SUM sync); 0 -> the module default (4).
+    # Replica staleness was the dp quality gap: on the 120-node
+    # community test micro-F1 is 0.54 syncing once per 64-step chunk,
+    # 0.77 at 16, 0.98 at 4 and at 1 (2-seed mean, 8 devices). 4 keeps
+    # the table allreduce amortized 4x with no measured loss vs 1.
     use_pallas: bool = False  # fused Pallas compute kernel (see
     # ops.pallas_sgns) vs plain XLA einsums for the block gradients
     matmul_bf16: bool = False  # run the six gradient einsums with
