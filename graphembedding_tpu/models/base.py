@@ -67,7 +67,12 @@ class WalkEmbeddingModel:
         # forward kwargs that name SkipGramConfig fields (update_cap,
         # chunk_steps, dp_sync_every, use_pallas, ...); anything else
         # is accepted-and-ignored for gensim-kwarg API parity (the
-        # reference forwards **kwargs to Word2Vec)
+        # reference forwards **kwargs to Word2Vec). Keys that are ALSO
+        # explicit parameters of this method (seed/window/epochs arrive
+        # via self.seed/window_size/iter) deliberately override the
+        # explicit value — a gensim-parity call like
+        # train(window_size=5, seed=42) must not raise, and the caller's
+        # explicit kwarg is the stronger signal.
         import dataclasses
 
         cfg_fields = {f.name for f in dataclasses.fields(SkipGramConfig)}
@@ -79,31 +84,35 @@ class WalkEmbeddingModel:
             from graphembedding_tpu.train.hsoftmax import HSTrainer
 
             trainer = HSTrainer(
-                embed_size=embed_size, window=window_size, epochs=iter,
+                embed_size=embed_size,
+                window=kwargs.get("window", window_size),
+                epochs=kwargs.get("epochs", iter),
                 alpha=alpha, min_alpha=min_alpha, sample=sample,
-                seed=self.seed, mesh=mesh,
+                seed=kwargs.get("seed", self.seed), mesh=mesh,
             )
             self.w_in, self.w_out, self.losses = trainer.fit(
                 self.walks, self.graph.num_nodes,
-                jax.random.PRNGKey(self.seed + 1), **fit_kw,
+                jax.random.PRNGKey(kwargs.get("seed", self.seed) + 1),
+                **fit_kw,
             )
             self._embeddings = None
             return self
-        cfg = SkipGramConfig(
+        cfg_kw = dict(
             embed_size=embed_size,
             window=window_size,
             negative=negative,
             epochs=iter,
-            **({} if block_walks is None else
-               {"block_walks": block_walks}),
             k_shared=k_shared,
             neg_share_walks=neg_share_walks,
             alpha=alpha,
             min_alpha=min_alpha,
             sample=sample,
             seed=self.seed,
-            **cfg_extra,
         )
+        if block_walks is not None:
+            cfg_kw["block_walks"] = block_walks
+        cfg_kw.update(cfg_extra)  # explicit caller kwargs win (see above)
+        cfg = SkipGramConfig(**cfg_kw)
         if mesh is not None:
             from graphembedding_tpu.parallel.trainer import (
                 DistributedSkipGramTrainer,
@@ -114,7 +123,7 @@ class WalkEmbeddingModel:
             )
         else:
             trainer = SkipGramTrainer(cfg)
-        key = jax.random.PRNGKey(self.seed + 1)
+        key = jax.random.PRNGKey(cfg.seed + 1)
         self.w_in, self.w_out, self.losses = trainer.fit(
             self.walks, self.graph.num_nodes, key, **fit_kw
         )

@@ -371,7 +371,10 @@ def multilayer_walks(
             x = jnp.log(g + jnp.e)
             p_up = x / (x + 1.0)
             r2 = jax.random.uniform(km, v.shape)
-            can_up = (layer + 1 < K) & (deg_at(layer + 1, v) > 0)
+            # clamped probe: keep the flat index in bounds at layer+1==K
+            # (masked by layer+1 < K, but don't rely on gather clamping)
+            up_probe = deg_at(jnp.minimum(layer + 1, K - 1), v)
+            can_up = (layer + 1 < K) & (up_probe > 0)
             go_up = (r2 <= p_up) & can_up
             go_down = (r2 > p_up) & (layer > 0)
             moving = ~stepped & ~do_step

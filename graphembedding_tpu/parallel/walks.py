@@ -570,7 +570,12 @@ def distributed_multilayer_walks(
                 x = jnp.log(g + jnp.e)
                 p_up = x / (x + 1.0)
                 r2 = jax.random.uniform(km, lv.shape)
-                can_up = (layer + 1 < K) & (deg_at(layer + 1, lv) > 0)
+                # clamp the probe layer so the flat rp_f index stays in
+                # bounds when layer+1 == K (the result is masked by
+                # layer+1 < K either way, but correctness must not rest
+                # on XLA's silent out-of-bounds gather clamp)
+                up_probe = deg_at(jnp.minimum(layer + 1, K - 1), lv)
+                can_up = (layer + 1 < K) & (up_probe > 0)
                 go_up = (r2 <= p_up) & can_up
                 go_down = (r2 > p_up) & (layer > 0)
                 moving = ~stepped & ~do_step

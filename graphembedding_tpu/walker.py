@@ -33,6 +33,7 @@ class RandomWalker:
         self.q = q
         self.use_rejection_sampling = use_rejection_sampling
         self.seed = seed
+        self._calls = 0  # advances the default seed call-to-call
 
     def preprocess_transition_probs(self):
         """Build alias tables (device-resident; O(1)-draw, no O(E·d)
@@ -41,13 +42,22 @@ class RandomWalker:
         return self
 
     def simulate_walks(self, num_walks, walk_length, workers=1,
-                       verbose=0):
+                       verbose=0, seed=None):
+        """Generate the walk corpus (reference return type: sentences).
+
+        `seed=None` draws a fresh corpus per call (the reference's
+        repeated `simulate_walks` calls differ too — its RNG advances);
+        pass `seed=` for a reproducible corpus.
+        """
         del workers, verbose
+        if seed is None:
+            seed = self.seed + self._calls
+            self._calls += 1
         kind = "uniform" if (self.p == 1.0 and self.q == 1.0) else \
             "node2vec"
         walks = _device_walks(
             self.graph, num_walks, walk_length,
-            jax.random.PRNGKey(self.seed), kind=kind, p=self.p, q=self.q,
+            jax.random.PRNGKey(seed), kind=kind, p=self.p, q=self.q,
             use_rejection_sampling=bool(self.use_rejection_sampling),
         )
         return _to_sentences(np.asarray(walks), self.graph.vocab)
@@ -69,10 +79,12 @@ class BiasedWalker:
     `temp_path`.
     """
 
-    def __init__(self, idx2node, temp_path, layers=None):
+    def __init__(self, idx2node, temp_path, layers=None, seed=0):
         self.idx2node = idx2node
         self.temp_path = temp_path
         self._layers = layers
+        self.seed = seed
+        self._calls = 0  # advances the default seed call-to-call
 
     def _resolve_layers(self):
         if self._layers is not None:
@@ -97,12 +109,21 @@ class BiasedWalker:
         return self._layers
 
     def simulate_walks(self, num_walks, walk_length, stay_prob=0.3,
-                       workers=1, verbose=0):
+                       workers=1, verbose=0, seed=None):
+        """Multilayer walk corpus as sentences.
+
+        `seed=None` draws a fresh corpus per call (matching the
+        reference, whose RNG advances between calls); pass `seed=` for
+        a reproducible corpus.
+        """
         del workers, verbose
         import jax.numpy as jnp
 
         from graphembedding_tpu.models.struc2vec import multilayer_walks
 
+        if seed is None:
+            seed = self.seed + self._calls
+            self._calls += 1
         layers = {
             k: jnp.asarray(v) for k, v in self._resolve_layers().items()
         }
@@ -115,7 +136,7 @@ class BiasedWalker:
             layers["alias"],
             layers["gamma"],
             starts,
-            jax.random.PRNGKey(0),
+            jax.random.PRNGKey(seed),
             jnp.float32(stay_prob),
             length=walk_length,
         )

