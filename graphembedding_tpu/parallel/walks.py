@@ -23,7 +23,44 @@ Design
   stationary distribution, not of which source shards they came from, so
   power-law hubs no longer overflow-kill walkers (the round-1 bucketed
   all_to_all dropped walkers whenever one source sent more than cap/n to
-  one destination). Overflow is still counted and returned.
+  one destination). Overflow is still counted and returned. The
+  destination shard is derived on the receiver from the vertex id
+  (range test), so no dest column crosses the wire.
+
+Routing-cost model and the all_to_all crossover (round-3 measurements)
+----------------------------------------------------------------------
+Per step each shard ingests the full gathered block: O(n·cap) rows of
+both WIRE bytes and COMPACTION compute, for ~wl walkers' worth of
+useful routing — an n·slack× fan-in overhead that is the engine's
+dominant cost once walkers are plentiful (measured on the 8-device CPU
+mesh: route ≈ 55-85% of step time; `benchmarks/scaling.py` reports it
+as 1 - comm_efficiency). Options, in increasing order of wire
+optimality:
+
+* `slack` (default 4) trades receiver hub-tolerance for a linear
+  factor of both costs — slack=2 measured ~1.8x faster end-to-end at
+  wiki scale with zero overflow (use 4+ for power-law graphs).
+* `hop_batch > 0` (DistributedWalker) switches to the locality-batched
+  engine below: crossers-only channel (send_cap = wl·send_slack wire
+  rows instead of cap) with BACKPRESSURE instead of drops, and up to H
+  local hops between exchanges. Rounds are bounded below by the MAX
+  per-walk crossing count, which for walk_length=10 on anything but an
+  extremely well-partitioned graph is ≈ walk_length (measured: 10
+  rounds at L=10 under an RCM ordering of the wiki SBM — the tail
+  walker crosses every hop even when the mean crossing rate is low),
+  so on the CPU mesh the plain engine WINS at reference walk lengths
+  (8.3M vs 4.5M edges/s at n=8, slack=2); the batched engine is the
+  right shape for long walks over locality-ordered graphs and for
+  real ICI, where its fewer, smaller collectives amortize latency.
+* a ragged all_to_all (exact walker exchange, O(wl) wire rows) is the
+  pod-scale endgame: `jax.lax.ragged_all_to_all` exists in this JAX
+  but is UNIMPLEMENTED on XLA:CPU (verified: `ragged-all-to-all is
+  not supported by XLA:CPU ThunkEmitter`), so it cannot be used or
+  validated in this environment — the all_gather form is kept as the
+  portable default. Crossover: all_gather wire cost n·cap·(F·4B)
+  per shard per step reaches ICI-meaningful volume (≈1 ms at 45 GB/s)
+  around n·cap ≈ 11M rows — e.g. n=256 shards × 8k-walker caps; below
+  that the all_gather rides ICI comfortably and hub-safety is free.
 - Each shard records tokens for walkers it hosts into a (walk_id, t)
   buffer; buffers are summed across shards at the end (each cell is
   written by exactly one shard).
@@ -203,25 +240,29 @@ def partition_layers(layers, num_nodes, n_shards):
 # --------------------------------------------------------------------------- #
 
 
-def _route(fields, dest, me, cap, n, axis):
+def _route(fields, lo, vp, me, cap, n, axis):
     """Hub-safe walker routing: all_gather state + rank-compaction.
 
-    fields: list of [cap] i32 walker-state arrays; dest [cap] i32
-    destination shard (-1 = dead/empty slot). Returns (new_fields,
-    overflow): each shard's compacted [cap] view of the walkers destined
-    to it (-1 filled), and the count of walkers it had to drop because
-    more than `cap` landed on it at once.
+    fields: list of [cap] i32 walker-state arrays with the INVARIANT
+    that fields[0] is the walker's next vertex (-1 = dead/empty slot)
+    — the destination shard is derived ON THE RECEIVER as a range test
+    against [lo, lo+vp), so no dest column crosses the wire (25-33%
+    fewer routed bytes than round 2's explicit-dest form). Returns
+    (new_fields, overflow): each shard's compacted [cap] view of the
+    walkers destined to it (-1 filled), and the count of walkers it
+    had to drop because more than `cap` landed on it at once.
     """
     F = len(fields)
-    send = jnp.stack(fields + [dest], axis=1)  # [cap, F+1]
-    allw = jax.lax.all_gather(send, axis).reshape(n * cap, F + 1)
-    mine = allw[:, F] == me
+    send = jnp.stack(fields, axis=1)  # [cap, F]
+    allw = jax.lax.all_gather(send, axis).reshape(n * cap, F)
+    v = allw[:, 0]
+    mine = (v >= lo) & (v < lo + vp)
     rank = jnp.cumsum(mine.astype(jnp.int32)) - 1
     ok = mine & (rank < cap)
     slot = jnp.where(ok, rank, cap)  # cap = trash row
     buf = jnp.full((cap + 1, F), -1, jnp.int32)
     buf = buf.at[slot].set(
-        jnp.where(ok[:, None], allw[:, :F], -1), mode="drop"
+        jnp.where(ok[:, None], allw, -1), mode="drop"
     )
     overflow = jnp.sum(mine) - jnp.sum(ok)
     return [buf[:cap, i] for i in range(F)], overflow
@@ -256,17 +297,56 @@ def _record(out, cur, wid, t):
     return out.at[safe_wid, t].add(add)
 
 
+def locality_order(graph):
+    """Locality-preserving vertex permutation (reverse Cuthill-McKee).
+
+    Returns `perm` with perm[new_id] = old_id. Relabeling a graph by
+    this order makes neighbors land near each other in id space, so a
+    range partition keeps most hops shard-local — the lever behind the
+    hop-batched engine (fewer routing rounds) and behind dense-window
+    table updates at large V. O(E) via scipy's C implementation.
+    """
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    V = graph.num_nodes
+    A = sp.csr_matrix(
+        (np.ones(graph.col_idx.shape[0], np.int8), graph.col_idx,
+         graph.row_ptr), shape=(V, V),
+    )
+    A = A + A.T  # RCM wants symmetric structure
+    return np.asarray(reverse_cuthill_mckee(A), dtype=np.int64)
+
+
+def relabel_graph(graph, perm):
+    """Relabeled copy of `graph` under perm (perm[new_id] = old_id)."""
+    from graphembedding_tpu.graph import Graph
+
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.shape[0])
+    src, dst, w = graph.edges()
+    return Graph(inv[src], inv[dst], w, num_nodes=graph.num_nodes,
+                 directed=True)
+
+
 # --------------------------------------------------------------------------- #
 # engines
 # --------------------------------------------------------------------------- #
 
 
-def _make_first_order(mesh, *, length, vp, n_walkers, slack, weighted):
+def _make_first_order(mesh, *, length, vp, n_walkers, slack, weighted,
+                      route_off=False):
     """First-order walk engine: uniform or weighted-alias next hops.
 
     Returns fn(row_ptr [n,Vp+1], col_idx [n,E], degree [n,Vp],
     [accept [n,E], alias [n,E] when weighted,] starts [n,wl], key)
     -> (walks [n_walkers, length], overflow).
+
+    `route_off=True` is a SEMANTICS-FREE timing control for the
+    scaling harness: the cross-shard exchange is skipped and walkers
+    are clamped onto their current shard, so the produced walks are
+    wrong but the per-step compute/shape structure is identical —
+    t_control/t_full isolates the routing cost.
     """
     n = mesh.shape["data"]
     wl = n_walkers // n
@@ -311,10 +391,15 @@ def _make_first_order(mesh, *, length, vp, n_walkers, slack, weighted):
             nxt = col_idx[row_ptr[lv] + pick]
             nxt = jnp.where(alive & (deg > 0), nxt, -1)
             wid = jnp.where(nxt >= 0, wid, -1)
-            dest = jnp.where(wid >= 0, nxt // vp, -1)
-            (cur, wid), overflow = _route(
-                [nxt, wid], dest, me, cap, n, "data"
-            )
+            if route_off:  # timing control — see docstring
+                cur = jnp.where(
+                    wid >= 0, jnp.clip(nxt - lo, 0, vp - 1) + lo, -1
+                )
+                overflow = jnp.int32(0)
+            else:
+                (cur, wid), overflow = _route(
+                    [nxt, wid], lo, vp, me, cap, n, "data"
+                )
             out = _record(out, cur, wid, t)
             return (cur, wid, out), overflow
 
@@ -346,7 +431,8 @@ def _make_first_order(mesh, *, length, vp, n_walkers, slack, weighted):
     return jax.jit(fn)
 
 
-def distributed_uniform_walks(mesh, *, length, vp, n_walkers, slack=4):
+def distributed_uniform_walks(mesh, *, length, vp, n_walkers, slack=4,
+                              route_off=False):
     """Uniform-next-hop distributed walks (round-1 API, hub-safe core).
 
     Returns fn(row_ptr, col_idx, degree, starts, key) ->
@@ -354,7 +440,7 @@ def distributed_uniform_walks(mesh, *, length, vp, n_walkers, slack=4):
     """
     return _make_first_order(
         mesh, length=length, vp=vp, n_walkers=n_walkers, slack=slack,
-        weighted=False,
+        weighted=False, route_off=route_off,
     )
 
 
@@ -369,6 +455,195 @@ def distributed_weighted_walks(mesh, *, length, vp, n_walkers, slack=4):
         mesh, length=length, vp=vp, n_walkers=n_walkers, slack=slack,
         weighted=True,
     )
+
+
+def distributed_uniform_walks_batched(
+    mesh, *, length, vp, n_walkers, slack=4, hop_batch=4,
+    send_slack=1.0, route_off=False,
+):
+    """Locality-batched uniform walks: route only actual shard crossers.
+
+    The plain engine exchanges the FULL [cap, F] walker state every hop
+    (`_route`), so the per-step collective moves n*cap rows even though
+    only the walkers whose next vertex lives on another shard need to
+    cross. This engine instead:
+
+    - lets each walker take up to `hop_batch` LOCAL hops per round
+      (vertices inside its shard's range advance with zero
+      communication — with a locality-preserving vertex order
+      (`locality_order`) most hops are local);
+    - rank-compacts the walkers that DID cross into a
+      [send_cap = wl*send_slack] send buffer, all_gathers only that
+      (n*send_cap rows vs n*cap — send_slack=1 vs slack=4 is 4x fewer
+      bytes before counting the hop batching);
+    - rounds run under `lax.while_loop` with a psum'd "anyone alive"
+      predicate, so the number of COLLECTIVE rounds per corpus is
+      ~crossings+1, not walk_length.
+
+    Token bookkeeping: each walker carries its own position t; local
+    hops record immediately, crossers are recorded by the receiving
+    shard on arrival. Walk distribution is identical to the plain
+    engine (same per-hop draw). Hub safety is by BACKPRESSURE, not
+    slack: crossers beyond send_cap in a round are never dropped —
+    they hold their slot and retry next round (the while_loop just
+    runs more rounds during a surge), so the only loss mode is the
+    plain engine's receiver-capacity rule (arrivals beyond cap hosted
+    walkers, counted in `overflow`).
+
+    Reference counterpart: `ge/walker.py — simulate_walks (~L100) [U]`,
+    scaled; SURVEY §8.4-6's "overlap the exchange" goal is met here by
+    *eliding* exchanges rather than hiding them.
+    """
+    n = mesh.shape["data"]
+    wl = n_walkers // n
+    cap = wl * slack
+    send_cap = max(int(wl * send_slack), 1)
+    H = hop_batch
+
+    def body(row_ptr, col_idx, degree, starts, key):
+        row_ptr = row_ptr[0]
+        col_idx = col_idx[0]
+        degree = degree[0]
+        me = jax.lax.axis_index("data")
+        lo = me * vp
+
+        cur = jnp.full((cap,), -1, jnp.int32)
+        wid = jnp.full((cap,), -1, jnp.int32)
+        cur = cur.at[:wl].set(starts.reshape(-1))
+        wid = wid.at[:wl].set(me * wl + jnp.arange(wl, dtype=jnp.int32))
+        wid = jnp.where(cur >= 0, wid, -1)
+        t = jnp.where(wid >= 0, 1, length).astype(jnp.int32)
+
+        out = jnp.zeros((n_walkers, length), jnp.int32)
+        out = _record(out, cur, wid, 0)
+
+        def round_body(state):
+            cur, wid, t, pend, out, key, ov, _gl, r = state
+            key, kr = jax.random.split(key)
+            kr = jax.random.fold_in(kr, me)
+
+            def hop(h, st):
+                cur, wid, t, pend, out = st
+                k = jax.random.fold_in(kr, h)
+                active = (wid >= 0) & (pend < 0) & (t < length)
+                lv = jnp.where(active, cur - lo, 0)
+                deg = jnp.where(active, degree[lv], 0)
+                u1 = jax.random.uniform(k, (cap,))
+                pick = jnp.minimum(
+                    (u1 * deg.astype(jnp.float32)).astype(jnp.int32),
+                    jnp.maximum(deg - 1, 0),
+                )
+                nxt = col_idx[row_ptr[lv] + pick]
+                # dead end: die now
+                wid = jnp.where(active & (deg == 0), -1, wid)
+                nxt_ok = active & (deg > 0)
+                if route_off:
+                    # timing control (semantics-free, harness only):
+                    # clamp crossers onto this shard so the exchange
+                    # below never sees them
+                    nxt = jnp.where(
+                        nxt_ok, jnp.clip(nxt, lo, lo + vp - 1), nxt
+                    )
+                local = nxt_ok & (nxt >= lo) & (nxt < lo + vp)
+                cur = jnp.where(local, nxt, cur)
+                safe_w = jnp.where(local, wid, 0)
+                safe_t = jnp.where(local, jnp.minimum(t, length - 1), 0)
+                out = out.at[safe_w, safe_t].add(
+                    jnp.where(local, cur + 1, 0)
+                )
+                t = jnp.where(local, t + 1, t)
+                wid = jnp.where(t >= length, -1, wid)  # finished
+                pend = jnp.where(nxt_ok & ~local, nxt, pend)
+                return cur, wid, t, pend, out
+
+            cur, wid, t, pend, out = jax.lax.fori_loop(
+                0, H, hop, (cur, wid, t, pend, out)
+            )
+
+            # live count BEFORE extracting sends, so in-flight walkers
+            # keep the loop alive (a stale overcount costs at most one
+            # cheap extra round; an undercount would truncate walks)
+            live_here = jnp.sum((wid >= 0).astype(jnp.int32))
+
+            # compact crossers into the send buffer; walkers beyond
+            # send_cap HOLD their slot and retry next round
+            # (backpressure — no send-side drops, ever)
+            is_pend = (wid >= 0) & (pend >= 0)
+            rank = jnp.cumsum(is_pend.astype(jnp.int32)) - 1
+            ok_send = is_pend & (rank < send_cap)
+            slot = jnp.where(ok_send, rank, send_cap)
+            sbuf = jnp.full((send_cap + 1, 3), -1, jnp.int32)
+            payload = jnp.stack([pend, wid, t], axis=1)
+            sbuf = sbuf.at[slot].set(
+                jnp.where(ok_send[:, None], payload, -1), mode="drop"
+            )
+            # sent walkers leave this shard; held ones keep pend set
+            wid = jnp.where(ok_send, -1, wid)
+            pend = jnp.where(ok_send, -1, pend)
+
+            # the send buffer's trailing row carries this shard's live
+            # count, so the loop predicate needs no extra collective
+            sbuf = sbuf.at[send_cap, 0].set(live_here)
+            allw = jax.lax.all_gather(sbuf, "data")  # [n, send_cap+1, 3]
+            global_live = jnp.sum(allw[:, send_cap, 0])
+            allw = allw[:, :send_cap].reshape(n * send_cap, 3)
+            v_a, w_a, t_a = allw[:, 0], allw[:, 1], allw[:, 2]
+            mine = (v_a >= lo) & (v_a < lo + vp)
+            arr_rank = jnp.cumsum(mine.astype(jnp.int32)) - 1
+            free = wid < 0
+            n_free = jnp.sum(free.astype(jnp.int32))
+            ok_arr = mine & (arr_rank < n_free)
+            ov = ov + jnp.sum(mine) - jnp.sum(ok_arr)
+            # index of the k-th free slot by scatter (no sort): free
+            # slot j with free-rank k writes j into fidx[k]
+            free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+            fidx = jnp.full((cap + 1,), cap, jnp.int32)
+            fidx = fidx.at[jnp.where(free, free_rank, cap)].set(
+                jnp.arange(cap, dtype=jnp.int32), mode="drop"
+            )
+            dslot = jnp.where(
+                ok_arr, fidx[jnp.clip(arr_rank, 0, cap - 1)], cap
+            )
+            cur = cur.at[dslot].set(jnp.where(ok_arr, v_a, -1),
+                                    mode="drop")
+            wid = wid.at[dslot].set(jnp.where(ok_arr, w_a, -1),
+                                    mode="drop")
+            t = t.at[dslot].set(
+                jnp.where(ok_arr, t_a + 1, length), mode="drop"
+            )
+            pend = pend.at[dslot].set(-1, mode="drop")
+            # the receiving shard records the crossing hop's token
+            safe_w = jnp.where(ok_arr, w_a, 0)
+            safe_t = jnp.where(ok_arr, jnp.clip(t_a, 0, length - 1), 0)
+            out = out.at[safe_w, safe_t].add(
+                jnp.where(ok_arr, v_a + 1, 0)
+            )
+            # arrivals that just finished die in place
+            wid = jnp.where(t >= length, -1, wid)
+            return cur, wid, t, pend, out, key, ov, global_live, r + 1
+
+        def cond(state):
+            return state[7] > 0
+
+        pend0 = jnp.full((cap,), -1, jnp.int32)
+        live0 = jax.lax.psum(
+            jnp.sum((wid >= 0).astype(jnp.int32)), "data"
+        )
+        state = (cur, wid, t, pend0, out, key, jnp.int32(0), live0,
+                 jnp.int32(0))
+        cur, wid, t, _p, out, key, ov, _gl, rounds = jax.lax.while_loop(
+            cond, round_body, state
+        )
+        out = jax.lax.psum(out, "data")
+        return out - 1, jax.lax.psum(ov, "data"), rounds
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P("data"),) * 3 + (P("data"), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
 
 
 def distributed_node2vec_walks(
@@ -457,9 +732,8 @@ def distributed_node2vec_walks(
             deg = jnp.where(alive, degree[lv], 0)
             nxt = jnp.where(alive & (deg > 0), nxt, -1)
             wid = jnp.where(nxt >= 0, wid, -1)
-            dest = jnp.where(wid >= 0, nxt // vp, -1)
             (cur2, wid, prev2), overflow = _route(
-                [nxt, wid, cur], dest, me, cap, n, "data"
+                [nxt, wid, cur], lo, vp, me, cap, n, "data"
             )
             out = _record(out, cur2, wid, t)
             return (prev2, cur2, wid, out), overflow
@@ -475,6 +749,147 @@ def distributed_node2vec_walks(
     fn = shard_map(
         body, mesh=mesh,
         in_specs=(P("data"), P("data"), P("data"), P("data"), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def distributed_node2vec_rejection_walks(
+    mesh, *, length, vp, n_walkers, p, q, max_degree, slack=4,
+    proposals=32,
+):
+    """Dmax-safe distributed (p,q) walks: CSR-only rejection sampling.
+
+    The exact engine (`distributed_node2vec_walks`) materializes
+    [Vp, Dmax] dense neighbor rows per shard and halo-fetches Dmax-wide
+    rows per walker per step — with a scale-free Dmax of 10^3-10^5 both
+    blow up (VERDICT r2 weak #3). This variant partitions ONLY the CSR
+    + per-node alias tables (O(E/n) memory, like the weighted
+    first-order engine) and mirrors the single-chip rejection kernel
+    (`ops.walk.node2vec_walks_rejection`, reference `node2vec_walk2
+    [U]`), with one distributed twist: the membership test
+    "candidate ∈ N(prev)" must run on prev's OWNER shard.
+
+    Instead of a sequential retry loop (which would cost one exchange
+    per retry), each walker proposes `proposals` candidates UP FRONT
+    (proposals are i.i.d., so batching them is exactly equivalent);
+    ONE query exchange per step resolves all memberships — all_gather
+    of the [cap, T] (prev, cand) queries, local vectorized binary
+    search on the owner, psum_scatter of the 0/1 answers back — and
+    the first accepted candidate wins locally (on full rejection the
+    last proposal is taken, the single-chip kernel's documented bias).
+    Comm per step: n·cap·(T+1) i32 + the usual state routing — no
+    Dmax term anywhere.
+
+    Returns fn(row_ptr [n,Vp+1], col_idx [n,E], degree [n,Vp],
+    accept [n,E], alias [n,E], starts [n,wl], key)
+    -> (walks, overflow).
+    """
+    from graphembedding_tpu.ops.alias import alias_draw
+    from graphembedding_tpu.ops.walk import csr_contains
+
+    n = mesh.shape["data"]
+    wl = n_walkers // n
+    cap = wl * slack
+    T = proposals
+    inv_p = jnp.float32(1.0 / p)
+    inv_q = jnp.float32(1.0 / q)
+    ub = float(max(1.0 / p, 1.0, 1.0 / q))
+
+    def body(row_ptr, col_idx, degree, acc_t, ali_t, starts, key):
+        row_ptr = row_ptr[0]
+        col_idx = col_idx[0]
+        degree = degree[0]
+        acc_t = acc_t[0]
+        ali_t = ali_t[0]
+        me = jax.lax.axis_index("data")
+        lo = me * vp
+
+        cur = jnp.full((cap,), -1, jnp.int32)
+        wid = jnp.full((cap,), -1, jnp.int32)
+        prev = jnp.full((cap,), -1, jnp.int32)
+        cur = cur.at[:wl].set(starts.reshape(-1))
+        wid = wid.at[:wl].set(me * wl + jnp.arange(wl, dtype=jnp.int32))
+        wid = jnp.where(cur >= 0, wid, -1)
+
+        out = jnp.zeros((n_walkers, length), jnp.int32)
+        out = _record(out, cur, wid, 0)
+
+        def step(carry, xs):
+            prev, cur, wid, out = carry
+            t, k = xs
+            kk = jax.random.fold_in(k, me)
+            alive = wid >= 0
+            lv = jnp.where(alive, cur - lo, 0)
+            deg = jnp.where(alive, degree[lv], 0)
+
+            # T weighted proposals per walker from the LOCAL alias row
+            k1, k2, k3 = jax.random.split(kk, 3)
+            u1 = jax.random.uniform(k1, (cap, T))
+            u2 = jax.random.uniform(k2, (cap, T))
+            offs = jnp.broadcast_to(row_ptr[lv][:, None], (cap, T))
+            degb = jnp.broadcast_to(
+                jnp.maximum(deg, 1)[:, None], (cap, T)
+            )
+            slot = alias_draw(
+                acc_t, ali_t, offs.reshape(-1), degb.reshape(-1),
+                u1.reshape(-1), u2.reshape(-1),
+            )
+            cand = col_idx[offs.reshape(-1) + slot].reshape(cap, T)
+
+            # ONE membership exchange for all T proposals:
+            # queries (prev, cand) answered by prev's owner
+            qry = jnp.concatenate(
+                [prev[:, None], cand], axis=1
+            )  # [cap, 1+T]
+            qall = jax.lax.all_gather(qry, "data")  # [n, cap, 1+T]
+            qp = qall[:, :, 0].reshape(-1)  # [n*cap]
+            qc = qall[:, :, 1:].reshape(-1, T)
+            owned = (qp >= lo) & (qp < lo + vp)
+            qlv = jnp.where(owned, qp - lo, 0)
+            rows = jnp.broadcast_to(qlv[:, None], qc.shape).reshape(-1)
+            found = csr_contains(
+                row_ptr, col_idx, degree, rows, qc.reshape(-1),
+                max_degree=max_degree,
+            ).reshape(-1, T)
+            found = jnp.where(owned[:, None], found, False)
+            ans = jax.lax.psum_scatter(
+                found.reshape(n, cap, T).astype(jnp.int32), "data",
+                scatter_dimension=0, tiled=True,
+            )[0]  # [cap, T] 0/1 — unique owner, sum = select
+
+            is_prev = cand == prev[:, None]
+            factor = jnp.where(
+                is_prev, inv_p, jnp.where(ans > 0, 1.0, inv_q)
+            )
+            # first hop (t == 1): unbiased weighted draw — accept #0
+            acc_u = jax.random.uniform(k3, (cap, T))
+            accepted = acc_u < factor / ub
+            accepted = accepted | (t == 1)
+            # first accepted proposal; last proposal on full rejection
+            first = jnp.argmax(accepted, axis=1)
+            pick = jnp.where(jnp.any(accepted, axis=1), first, T - 1)
+            nxt = cand[jnp.arange(cap), pick]
+            nxt = jnp.where(alive & (deg > 0), nxt, -1)
+            wid = jnp.where(nxt >= 0, wid, -1)
+            (cur2, wid, prev2), overflow = _route(
+                [nxt, wid, cur], lo, vp, me, cap, n, "data"
+            )
+            out = _record(out, cur2, wid, t)
+            return (prev2, cur2, wid, out), overflow
+
+        keys = jax.random.split(key, length - 1)
+        ts = jnp.arange(1, length, dtype=jnp.int32)
+        (prev, cur, wid, out), overflows = jax.lax.scan(
+            step, (prev, cur, wid, out), (ts, keys)
+        )
+        out = jax.lax.psum(out, "data")
+        return out - 1, jax.lax.psum(overflows.sum(), "data")
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P("data"),) * 5 + (P("data"), P()),
         out_specs=(P(), P()),
         check_vma=False,
     )
@@ -596,9 +1011,8 @@ def distributed_multilayer_walks(
             nxt = jnp.where(stepped, nxt, v_forced)
             nxt = jnp.where(alive, nxt, -1)
             wid = jnp.where(nxt >= 0, wid, -1)
-            dest = jnp.where(wid >= 0, nxt // vp, -1)
             (cur, wid, layer), overflow = _route(
-                [nxt, wid, layer], dest, me, cap, n, "data"
+                [nxt, wid, layer], lo, vp, me, cap, n, "data"
             )
             layer = jnp.maximum(layer, 0)  # -1 fill on empty slots
             out = _record(out, cur, wid, t)
@@ -626,6 +1040,181 @@ def distributed_multilayer_walks(
 # --------------------------------------------------------------------------- #
 
 
+class DistributedWalker:
+    """Reusable distributed walk engine: partition + compile ONCE.
+
+    `simulate_walks_distributed` used to re-partition the CSR on host,
+    re-transfer it, and re-trace the shard_map engine on every call —
+    fine for a one-shot corpus, but it put O(V+E) host work and a full
+    retrace in the steady-state path (and in the scaling harness's
+    timed region). This object is the steady-state API: construct once
+    per (graph, mesh, kind, length), then `run(key)` as many times as
+    needed — each run is exactly one jitted call on device-resident
+    partitioned state.
+
+    Reference counterpart being scaled:
+    `ge/walker.py — simulate_walks (~L100) [U]`.
+    """
+
+    def __init__(self, graph, mesh, walk_length, *, kind="uniform",
+                 num_walks=1, p=1.0, q=1.0, slack=4, stay_prob=0.3,
+                 max_moves=16, layers=None, num_nodes=None,
+                 route_off=False, hop_batch=0, send_slack=2.0,
+                 relabel=None, proposals=32):
+        import jax.numpy as jnp  # local: keep module import surface
+
+        self.mesh = mesh
+        self.kind = kind
+        n = mesh.shape["data"]
+        self._perm = None
+        if relabel is not None:
+            if kind != "uniform":
+                raise ValueError(
+                    "relabel= is currently wired for kind='uniform'"
+                )
+            if relabel == "locality":
+                perm = locality_order(graph)
+            else:
+                perm = np.asarray(relabel, dtype=np.int64)
+            graph = relabel_graph(graph, perm)
+            self._perm = perm  # perm[new_id] = old_id
+        V = graph.num_nodes if graph is not None else num_nodes
+        vp = (V + n - 1) // n
+        self.num_nodes = V
+        starts, n_walkers = _group_starts(V, num_walks, n, vp)
+        self._starts = jnp.asarray(starts)
+
+        if route_off and kind != "uniform":
+            raise ValueError("route_off is a uniform-kind timing "
+                             "control (scaling harness only)")
+        if kind == "uniform" and hop_batch:
+            parts = partition_csr(graph, n)
+            self._fn = distributed_uniform_walks_batched(
+                mesh, length=walk_length, vp=vp, n_walkers=n_walkers,
+                slack=slack, hop_batch=hop_batch,
+                send_slack=send_slack, route_off=route_off,
+            )
+            self._args = (
+                jnp.asarray(parts["row_ptr"]),
+                jnp.asarray(parts["col_idx"]),
+                jnp.asarray(parts["degree"]),
+            )
+        elif kind == "uniform":
+            parts = partition_csr(graph, n)
+            self._fn = distributed_uniform_walks(
+                mesh, length=walk_length, vp=vp, n_walkers=n_walkers,
+                slack=slack, route_off=route_off,
+            )
+            self._args = (
+                jnp.asarray(parts["row_ptr"]),
+                jnp.asarray(parts["col_idx"]),
+                jnp.asarray(parts["degree"]),
+            )
+        elif kind == "weighted":
+            accept, alias = graph.host_alias()
+            parts = partition_csr(
+                graph, n,
+                edge_arrays={
+                    "accept": (accept.astype(np.float32), 1.0),
+                    "alias": (alias.astype(np.int32), 0),
+                },
+            )
+            self._fn = distributed_weighted_walks(
+                mesh, length=walk_length, vp=vp, n_walkers=n_walkers,
+                slack=slack,
+            )
+            self._args = (
+                jnp.asarray(parts["row_ptr"]),
+                jnp.asarray(parts["col_idx"]),
+                jnp.asarray(parts["degree"]),
+                jnp.asarray(parts["accept"]),
+                jnp.asarray(parts["alias"]),
+            )
+        elif kind == "node2vec":
+            nbr, nbr_w, deg, vp2, dpad = partition_neighbor_matrix(
+                graph, n
+            )
+            assert vp2 == vp
+            self._fn = distributed_node2vec_walks(
+                mesh, length=walk_length, vp=vp, dpad=dpad,
+                n_walkers=n_walkers, p=p, q=q, slack=slack,
+            )
+            self._args = (
+                jnp.asarray(nbr), jnp.asarray(nbr_w), jnp.asarray(deg),
+            )
+        elif kind == "node2vec_rejection":
+            accept, alias = graph.host_alias()
+            parts = partition_csr(
+                graph, n,
+                edge_arrays={
+                    "accept": (accept.astype(np.float32), 1.0),
+                    "alias": (alias.astype(np.int32), 0),
+                },
+            )
+            self._fn = distributed_node2vec_rejection_walks(
+                mesh, length=walk_length, vp=vp, n_walkers=n_walkers,
+                p=p, q=q, slack=slack, proposals=proposals,
+                max_degree=int(graph.degree.max()),
+            )
+            self._args = (
+                jnp.asarray(parts["row_ptr"]),
+                jnp.asarray(parts["col_idx"]),
+                jnp.asarray(parts["degree"]),
+                jnp.asarray(parts["accept"]),
+                jnp.asarray(parts["alias"]),
+            )
+        elif kind == "multilayer":
+            parts = partition_layers(layers, V, n)
+            self._fn = distributed_multilayer_walks(
+                mesh, length=walk_length, vp=vp, n_walkers=n_walkers,
+                stay_prob=stay_prob, max_moves=max_moves, slack=slack,
+            )
+            self._args = (
+                jnp.asarray(parts["row_ptr"]),
+                jnp.asarray(parts["col_idx"]),
+                jnp.asarray(parts["accept"]),
+                jnp.asarray(parts["alias"]),
+                jnp.asarray(parts["gamma"]),
+            )
+        else:
+            raise ValueError(f"unknown distributed walk kind: {kind!r}")
+
+        # multi-process meshes (jax.distributed): assemble the
+        # partitioned state + starts into GLOBAL arrays; single-process
+        # this is a plain device put (parallel.mesh.put_global)
+        from graphembedding_tpu.parallel.mesh import put_global
+
+        self._args = tuple(
+            put_global(a, mesh, P("data")) for a in self._args
+        )
+        self._starts = put_global(starts, mesh, P("data"))
+
+    last_rounds = None  # routing rounds of the last batched-engine run
+
+    def run_device(self, key):
+        """One engine call; returns device (walks, overflow) with
+        filler walker rows still present (first token -1)."""
+        out = self._fn(*self._args, self._starts, key)
+        if len(out) == 3:  # batched engine also reports its rounds
+            walks, ov, rounds = out
+            self.last_rounds = int(rounds)
+            return walks, ov
+        return out
+
+    def run(self, key):
+        """Walk corpus as numpy with filler rows dropped; returns
+        (walks [kept, length], overflow count). Tokens are in the
+        caller's original vertex ids (relabeling is undone here)."""
+        walks, overflow = self.run_device(key)
+        walks = np.asarray(walks)
+        keep = walks[:, 0] >= 0
+        walks = walks[keep]
+        if self._perm is not None:
+            mapped = self._perm[np.clip(walks, 0, None)]
+            walks = np.where(walks >= 0, mapped, -1).astype(np.int32)
+        return walks, int(overflow)
+
+
 def _group_starts(num_nodes, num_walks, n, vp):
     """Group walker start vertices by owner shard, pad with -1."""
     starts_per_shard = []
@@ -644,100 +1233,32 @@ def simulate_walks_distributed(
     graph, mesh, num_walks, walk_length, key, *, kind="uniform",
     p=1.0, q=1.0, slack=4,
 ):
-    """End-to-end distributed walk corpus (grouped by owner shard).
+    """One-shot distributed walk corpus (grouped by owner shard).
 
     kind: 'uniform' | 'weighted' | 'node2vec' — the distributed
     counterparts of `ops.walk.simulate_walks`. Returns
-    (walks [kept, length] numpy, overflow count).
+    (walks [kept, length] numpy, overflow count). For repeated corpora
+    over the same graph/mesh build a `DistributedWalker` once and call
+    `run(key)` — this wrapper pays host partitioning + engine trace on
+    every call.
     """
-    n = mesh.shape["data"]
-    V = graph.num_nodes
-    vp = (V + n - 1) // n
-    starts, n_walkers = _group_starts(V, num_walks, n, vp)
-
-    if kind == "uniform":
-        parts = partition_csr(graph, n)
-        fn = distributed_uniform_walks(
-            mesh, length=walk_length, vp=vp, n_walkers=n_walkers,
-            slack=slack,
-        )
-        walks, overflow = fn(
-            jnp.asarray(parts["row_ptr"]),
-            jnp.asarray(parts["col_idx"]),
-            jnp.asarray(parts["degree"]),
-            jnp.asarray(starts),
-            key,
-        )
-    elif kind == "weighted":
-        accept, alias = graph.host_alias()
-        parts = partition_csr(
-            graph, n,
-            edge_arrays={
-                "accept": (accept.astype(np.float32), 1.0),
-                "alias": (alias.astype(np.int32), 0),
-            },
-        )
-        fn = distributed_weighted_walks(
-            mesh, length=walk_length, vp=vp, n_walkers=n_walkers,
-            slack=slack,
-        )
-        walks, overflow = fn(
-            jnp.asarray(parts["row_ptr"]),
-            jnp.asarray(parts["col_idx"]),
-            jnp.asarray(parts["degree"]),
-            jnp.asarray(parts["accept"]),
-            jnp.asarray(parts["alias"]),
-            jnp.asarray(starts),
-            key,
-        )
-    elif kind == "node2vec":
-        nbr, nbr_w, deg, vp2, dpad = partition_neighbor_matrix(graph, n)
-        assert vp2 == vp
-        fn = distributed_node2vec_walks(
-            mesh, length=walk_length, vp=vp, dpad=dpad,
-            n_walkers=n_walkers, p=p, q=q, slack=slack,
-        )
-        walks, overflow = fn(
-            jnp.asarray(nbr),
-            jnp.asarray(nbr_w),
-            jnp.asarray(deg),
-            jnp.asarray(starts),
-            key,
-        )
-    else:
-        raise ValueError(f"unknown distributed walk kind: {kind!r}")
-
-    # drop filler walkers (start slot was -1 -> first token -1)
-    walks = np.asarray(walks)
-    keep = walks[:, 0] >= 0
-    return walks[keep], int(overflow)
+    return DistributedWalker(
+        graph, mesh, walk_length, kind=kind, num_walks=num_walks,
+        p=p, q=q, slack=slack,
+    ).run(key)
 
 
 def simulate_multilayer_walks_distributed(
     layers, num_nodes, mesh, num_walks, walk_length, key, *,
     stay_prob=0.3, max_moves=16, slack=4,
 ):
-    """Distributed struc2vec multilayer walk corpus.
+    """One-shot distributed struc2vec multilayer walk corpus.
 
     `layers` is the `build_layer_csr` dict. Returns (walks, overflow).
+    See `DistributedWalker(kind='multilayer')` for the reusable form.
     """
-    n = mesh.shape["data"]
-    vp = (num_nodes + n - 1) // n
-    starts, n_walkers = _group_starts(num_nodes, num_walks, n, vp)
-    parts = partition_layers(layers, num_nodes, n)
-    fn = distributed_multilayer_walks(
-        mesh, length=walk_length, vp=vp, n_walkers=n_walkers,
-        stay_prob=stay_prob, max_moves=max_moves, slack=slack,
-    )
-    walks, overflow = fn(
-        jnp.asarray(parts["row_ptr"]),
-        jnp.asarray(parts["col_idx"]),
-        jnp.asarray(parts["accept"]),
-        jnp.asarray(parts["alias"]),
-        jnp.asarray(parts["gamma"]),
-        jnp.asarray(starts),
-        key,
-    )
-    walks = np.asarray(walks)
-    keep = walks[:, 0] >= 0
-    return walks[keep], int(overflow)
+    return DistributedWalker(
+        None, mesh, walk_length, kind="multilayer",
+        num_walks=num_walks, stay_prob=stay_prob, max_moves=max_moves,
+        slack=slack, layers=layers, num_nodes=num_nodes,
+    ).run(key)
