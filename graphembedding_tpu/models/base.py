@@ -30,6 +30,7 @@ class WalkEmbeddingModel:
         self.walk_length = walk_length
         self.num_walks = num_walks
         self.seed = seed
+        self.mesh = None  # set by subclasses that took mesh=
         self.walks = None  # device i32 [num_walks * V, walk_length]
         self.w_in = None
         self.w_out = None
@@ -53,7 +54,10 @@ class WalkEmbeddingModel:
         neg_share_walks=8,
         sample=1e-3,  # frequent-node subsampling threshold (gensim's
         # Word2Vec default, which the reference never overrides); 0 off
-        mesh=None,  # jax.sharding.Mesh -> train over the mesh
+        mesh=None,  # jax.sharding.Mesh -> train over the mesh;
+        # defaults to the mesh given at model construction (which also
+        # shards the WALK phase), so Model(G, mesh=m).train() is
+        # sharded end to end
         parallel_mode="rowshard",  # 'rowshard' | 'dp' (parallel/trainer)
         hs=0,  # 1 -> hierarchical softmax (the reference's
         # Word2Vec(hs=1) objective for DeepWalk/Struc2Vec; SGNS is the
@@ -64,6 +68,8 @@ class WalkEmbeddingModel:
         **kwargs,
     ):
         del workers
+        if mesh is None:
+            mesh = getattr(self, "mesh", None)
         # forward kwargs that name SkipGramConfig fields (update_cap,
         # chunk_steps, dp_sync_every, use_pallas, ...); anything else
         # is accepted-and-ignored for gensim-kwarg API parity (the

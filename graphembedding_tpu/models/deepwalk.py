@@ -17,16 +17,35 @@ from graphembedding_tpu.ops.walk import simulate_walks
 
 class DeepWalk(WalkEmbeddingModel):
     def __init__(self, graph, walk_length=10, num_walks=80, workers=1,
-                 seed=0):
+                 seed=0, mesh=None):
+        """`mesh=` runs the WALK phase sharded too (edge-partitioned
+        CSR + hub-safe routed walkers, `parallel.walks`) — the scale
+        path for graphs that exceed one chip's HBM; `train()` then
+        defaults to the same mesh. Without it the replicated
+        single-chip kernel is used (faster at reference scale)."""
         del workers  # reference API parity; device parallelism instead
         super().__init__(graph, walk_length, num_walks, seed)
-        self.walks = simulate_walks(
-            self.graph,
-            num_walks,
-            walk_length,
-            jax.random.PRNGKey(seed),
-            kind="uniform",
-        )
+        self.mesh = mesh
+        if mesh is not None:
+            from graphembedding_tpu.parallel.walks import (
+                DistributedWalker,
+            )
+
+            walker = DistributedWalker(
+                self.graph, mesh, walk_length, kind="uniform",
+                num_walks=num_walks,
+            )
+            self.walks, self.walk_overflow = walker.run(
+                jax.random.PRNGKey(seed)
+            )
+        else:
+            self.walks = simulate_walks(
+                self.graph,
+                num_walks,
+                walk_length,
+                jax.random.PRNGKey(seed),
+                kind="uniform",
+            )
 
     def train(self, embed_size=128, window_size=5, workers=None, iter=5,
               **kwargs):

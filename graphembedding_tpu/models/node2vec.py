@@ -30,22 +30,44 @@ class Node2Vec(WalkEmbeddingModel):
         workers=1,
         use_rejection_sampling=False,
         seed=0,
+        mesh=None,
     ):
+        """`mesh=` runs the (p,q) walk phase sharded (partitioned
+        neighbor matrix + halo row fetch, or CSR-only rejection
+        sampling when `use_rejection_sampling=True` — the Dmax-safe
+        variant for power-law graphs); `train()` then defaults to the
+        same mesh."""
         del workers
         super().__init__(graph, walk_length, num_walks, seed)
         self.p = p
         self.q = q
         self.use_rejection_sampling = use_rejection_sampling
-        self.walks = simulate_walks(
-            self.graph,
-            num_walks,
-            walk_length,
-            jax.random.PRNGKey(seed),
-            kind="node2vec",
-            p=p,
-            q=q,
-            use_rejection_sampling=bool(use_rejection_sampling),
-        )
+        self.mesh = mesh
+        if mesh is not None:
+            from graphembedding_tpu.parallel.walks import (
+                DistributedWalker,
+            )
+
+            walker = DistributedWalker(
+                self.graph, mesh, walk_length,
+                kind=("node2vec_rejection" if use_rejection_sampling
+                      else "node2vec"),
+                num_walks=num_walks, p=p, q=q,
+            )
+            self.walks, self.walk_overflow = walker.run(
+                jax.random.PRNGKey(seed)
+            )
+        else:
+            self.walks = simulate_walks(
+                self.graph,
+                num_walks,
+                walk_length,
+                jax.random.PRNGKey(seed),
+                kind="node2vec",
+                p=p,
+                q=q,
+                use_rejection_sampling=bool(use_rejection_sampling),
+            )
 
     def train(self, embed_size=128, window_size=5, workers=None, iter=5,
               **kwargs):

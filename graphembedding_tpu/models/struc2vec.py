@@ -423,10 +423,12 @@ class Struc2Vec(WalkEmbeddingModel):
         temp_path="./temp_struc2vec/",
         reuse=False,
         seed=0,
+        mesh=None,
     ):
         del verbose
         super().__init__(graph, walk_length, num_walks, seed)
         self.stay_prob = stay_prob
+        self.mesh = mesh
 
         cache_file = None
         if temp_path:
@@ -459,20 +461,39 @@ class Struc2Vec(WalkEmbeddingModel):
                     pickle.dump(layers, f)
 
         self._layers = {k: jnp.asarray(v) for k, v in layers.items()}
-        starts = jnp.tile(
-            jnp.arange(self.graph.num_nodes, dtype=jnp.int32), num_walks
-        )
-        self.walks = multilayer_walks(
-            self._layers["row_ptr"],
-            self._layers["col_idx"],
-            self._layers["accept"],
-            self._layers["alias"],
-            self._layers["gamma"],
-            starts,
-            jax.random.PRNGKey(seed),
-            jnp.float32(stay_prob),
-            length=walk_length,
-        )
+        if mesh is not None:
+            # sharded multilayer walks: layer CSRs vertex-partitioned,
+            # in-layer hops routed (parallel.walks); the walk corpus
+            # for context graphs beyond one chip's HBM is generated
+            # here, then train(mesh=...) shards training too
+            from graphembedding_tpu.parallel.walks import (
+                DistributedWalker,
+            )
+
+            walker = DistributedWalker(
+                None, mesh, walk_length, kind="multilayer",
+                num_walks=num_walks, stay_prob=stay_prob,
+                layers=layers, num_nodes=self.graph.num_nodes,
+            )
+            self.walks, self.walk_overflow = walker.run(
+                jax.random.PRNGKey(seed)
+            )
+        else:
+            starts = jnp.tile(
+                jnp.arange(self.graph.num_nodes, dtype=jnp.int32),
+                num_walks,
+            )
+            self.walks = multilayer_walks(
+                self._layers["row_ptr"],
+                self._layers["col_idx"],
+                self._layers["accept"],
+                self._layers["alias"],
+                self._layers["gamma"],
+                starts,
+                jax.random.PRNGKey(seed),
+                jnp.float32(stay_prob),
+                length=walk_length,
+            )
 
     def train(self, embed_size=128, window_size=5, workers=None, iter=5,
               hs=1, **kwargs):

@@ -25,11 +25,61 @@ from jax.sharding import Mesh
 
 
 def init_distributed(**kwargs) -> None:
-    """Multi-host SPMD init (no-op if single-process)."""
+    """Multi-host SPMD init (no-op if already initialized).
+
+    Honors a `JAX_PLATFORMS` env override BEFORE the backend comes up
+    — this build environment's sitecustomize registers a TPU-tunnel
+    plugin and forces `jax_platforms=axon,cpu` in every interpreter,
+    so the env var alone does not stick (docs/MULTIHOST.md); and
+    initialization failures are LOUD when the caller passed an
+    explicit multi-process config (a swallowed failure silently
+    degrades to independent single-process runs).
+    """
+    import os
+
+    env = os.environ.get("JAX_PLATFORMS")
+    if env:
+        try:
+            jax.config.update("jax_platforms", env)
+        except Exception:
+            pass  # backend already initialized
     try:
         jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
-        pass  # already initialized or single-process
+    except (RuntimeError, ValueError) as e:
+        if "already" in str(e).lower() or not kwargs:
+            return  # idempotent / single-process best-effort
+        raise
+
+
+def put_global(x, mesh: Mesh, spec) -> jax.Array:
+    """Make a host value usable as an input of a `shard_map` over a
+    possibly MULTI-PROCESS mesh.
+
+    Single-process (the common case, incl. the virtual CPU mesh):
+    plain device put — unchanged behavior. Multi-process: every
+    process holds the full host value (our corpora/partitions are
+    built identically on every host from the same seed), so the
+    process-local slice for this process's addressable devices is cut
+    here and assembled into one global array via
+    `jax.make_array_from_process_local_data`. Callers pass the same
+    `spec` they use in `in_specs`.
+    """
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding
+
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        # committed to the mesh sharding (NOT a bare default-device
+        # put): checkpoint templates and donation derive shardings
+        # from these arrays
+        return jax.device_put(jnp.asarray(x), sharding)
+    x = np.asarray(x)
+    # every process passes the FULL host value with an explicit
+    # global_shape: jax slices out each process's shards (verified
+    # against the 2-process gloo smoke, docs/MULTIHOST.md)
+    return jax.make_array_from_process_local_data(
+        sharding, x, global_shape=x.shape
+    )
 
 
 def make_mesh(

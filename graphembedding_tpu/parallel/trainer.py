@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from graphembedding_tpu.train.skipgram import (
     SkipGramConfig,
@@ -50,7 +51,12 @@ class DistributedSkipGramTrainer:
             key = jax.random.PRNGKey(cfg.seed)
         k_init, k_shuf, k_train, k_sub = jax.random.split(key, 4)
 
-        walks = jnp.asarray(walks)
+        from graphembedding_tpu.parallel.mesh import put_global
+        from jax.sharding import PartitionSpec as _P
+
+        # multi-process meshes: corpus must be a GLOBAL (replicated)
+        # array; single-process this is a plain device put
+        walks = put_global(np.asarray(walks), mesh, _P())
         NW, L = walks.shape
         if NW < n:
             raise ValueError(
@@ -132,19 +138,18 @@ class DistributedSkipGramTrainer:
         from jax.sharding import NamedSharding
         from jax.sharding import PartitionSpec as P
 
-        import numpy as np
-
         if self.mode == "rowshard":
             # match rowsharded_sgns_chunk's specs: rows over 'data'
-            w_cat = jax.device_put(
-                w_cat, NamedSharding(mesh, P("data", None))
-            )
+            # (put_global: multi-process safe, plain put single-proc)
+            w_cat = put_global(np.asarray(w_cat), mesh,
+                               P("data", None))
         else:
             # match sharded_sgns_chunk's table spec: columns over
             # 'model', replicated over 'data'
-            tspec = NamedSharding(mesh, P(None, "model"))
-            w_in = jax.device_put(w_in, tspec)
-            w_out = jax.device_put(w_out, tspec)
+            w_in = put_global(np.asarray(w_in), mesh,
+                              P(None, "model"))
+            w_out = put_global(np.asarray(w_out), mesh,
+                               P(None, "model"))
 
         resume_step = 0
         if checkpoint_dir:
@@ -231,7 +236,14 @@ class DistributedSkipGramTrainer:
         if not losses:
             losses = [jnp.zeros((0,), jnp.float32)]
         if self.mode == "rowshard":
-            w_cat = jax.device_get(w_cat)
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+
+                w_cat = multihost_utils.process_allgather(
+                    w_cat, tiled=True
+                )
+            else:
+                w_cat = jax.device_get(w_cat)
             w_in = jnp.asarray(w_cat[:num_nodes, :D])
             w_out = jnp.asarray(w_cat[:num_nodes, D:])
         return w_in, w_out, jnp.concatenate(losses)
