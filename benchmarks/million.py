@@ -78,6 +78,62 @@ def synthetic_graph(V: int, avg_degree: int, seed: int = 0) -> Graph:
     )
 
 
+def clustered_graph(V: int, avg_degree: int, seed: int = 0,
+                    spread: int = 4096) -> Graph:
+    """Small-world graph WITH vertex locality: ring + random edges
+    whose endpoints fall within `spread` ids of the source (heavy-tail
+    offsets), plus a sparse long-range tail. Real graphs have strong
+    clustering; under a locality-preserving id order their walks stay
+    in narrow id ranges — the workload the windowed-scatter path
+    (`SkipGramConfig.cap_window_rows`) is built for. Same edge count
+    and degree shape as `synthetic_graph`."""
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnames=("V", "n_rand"))
+    def build(key, *, V, n_rand):
+        k1, k2, k3 = jax.random.split(key, 3)
+        ring_src = jnp.arange(V, dtype=jnp.int32)
+        ring_dst = (ring_src + 1) % V
+        src = jax.random.randint(k1, (n_rand,), 0, V, dtype=jnp.int32)
+        # offsets heavy-tailed within +-spread; ~2% long-range rewires
+        off = (
+            jax.random.uniform(k2, (n_rand,)) ** 2 * spread
+        ).astype(jnp.int32) + 1
+        sign = jax.random.rademacher(k3, (n_rand,), dtype=jnp.int32)
+        dst = (src + sign * off) % V
+        far = jax.random.uniform(
+            jax.random.fold_in(k2, 1), (n_rand,)
+        ) < 0.02
+        dst = jnp.where(
+            far,
+            jax.random.randint(jax.random.fold_in(k3, 1), (n_rand,),
+                               0, V, dtype=jnp.int32),
+            dst,
+        )
+        s = jnp.concatenate([ring_src, src])
+        d = jnp.concatenate([ring_dst, dst])
+        loop = s == d
+        d = jnp.where(loop, (d + 1) % V, d)
+        s2 = jnp.concatenate([s, d])
+        d2 = jnp.concatenate([d, s])
+        s2, d2 = jax.lax.sort((s2, d2), num_keys=2)
+        counts = jnp.zeros((V,), jnp.int32).at[s2].add(1)
+        row_ptr = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32),
+             jnp.cumsum(counts).astype(jnp.int32)]
+        )
+        return row_ptr, d2
+
+    n_rand = V * max(avg_degree - 2, 1) // 2
+    row_ptr, col_idx = build(
+        jax.random.PRNGKey(seed), V=V, n_rand=n_rand
+    )
+    return Graph.from_csr(
+        np.asarray(row_ptr), np.asarray(col_idx), directed=False
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--nodes", type=int, default=1_000_000)
@@ -85,11 +141,19 @@ def main():
     ap.add_argument("--num-walks", type=int, default=5)
     ap.add_argument("--walk-length", type=int, default=10)
     ap.add_argument("--epochs", type=int, default=1)
+    ap.add_argument("--clustered", action="store_true",
+                    help="locality-bearing small-world graph")
+    ap.add_argument("--blocked", action="store_true",
+                    help="block-preserving epoch shuffle (corpus-order "
+                         "row clustering; SkipGramConfig.shuffle_mode)")
     args = ap.parse_args()
     V = args.nodes
 
     t0 = time.perf_counter()
-    g = synthetic_graph(V, args.avg_degree)
+    if args.clustered:
+        g = clustered_graph(V, args.avg_degree)
+    else:
+        g = synthetic_graph(V, args.avg_degree)
     t_build = time.perf_counter() - t0
     print(json.dumps({
         "bench": "million_build",
@@ -126,7 +190,8 @@ def main():
     # buffers so the table has the chip to itself
     g.free_device()
 
-    cfg = SkipGramConfig(epochs=args.epochs)
+    kw = dict(shuffle_mode="block") if args.blocked else {}
+    cfg = SkipGramConfig(epochs=args.epochs, **kw)
     trainer = SkipGramTrainer(cfg)
     t0 = time.perf_counter()
     trainer.fit(walks, V)  # cold pass: compiles + one-time host builds

@@ -94,6 +94,13 @@ class SkipGramConfig:
     # straight into the donated table; ~3x the row issues but no
     # V-proportional streams, so it wins once V·D streams out-cost the
     # extra issues. auto picks by table size (see SkipGramTrainer.fit)
+    shuffle_mode: str = "full"  # 'full' | 'block': per-epoch corpus
+    # shuffle. 'block' permutes fixed walk blocks and rows within them
+    # but keeps block membership, preserving per-step vertex locality
+    # (blocks are consecutive start ranges when walks come from the
+    # tiled-arange corpus generators) — corpus-order row clustering
+    # for large-V runs; measured quality-neutral and throughput-
+    # neutral at 1M nodes (RESULTS.md round 3)
     dp_sync_every: int = 4  # 'dp'-mode replica sync cadence in steps
     # (parallel/sgns.py delta-SUM sync); 0 -> the module default (4).
     # Replica staleness was the dp quality gap: on the 120-node
@@ -501,7 +508,7 @@ def sgns_block_chunk_cat(
             )
             d_tok = jnp.concatenate(
                 [d_yin.reshape(-1, D), d_yout.reshape(-1, D)], axis=1
-            )
+            ) * tok_scale[:, None]
             d_neg_full = jnp.concatenate(
                 [
                     jnp.zeros((G2 * K, D), jnp.float32),
@@ -509,9 +516,16 @@ def sgns_block_chunk_cat(
                 ],
                 axis=1,
             )
-            upd = jnp.concatenate(
-                [d_tok * tok_scale[:, None], d_neg_full], axis=0
-            )
+            # NOTE (round 3): a windowed-scatter decomposition
+            # (dynamic_slice -> small-window scatter -> update_slice
+            # for in-window tokens) was built and measured SLOWER than
+            # this single full-range scatter at 1M nodes (35.8-36.5M
+            # vs 42.7-43.1M pairs/s e2e) and removed: XLA scatter
+            # charges ~89% of full per-row cost even for DROPPED
+            # (out-of-bounds) indices, so the straggler+negative
+            # remainder scatter erases the window's 2.3x row-write win
+            # (RESULTS.md round-3 "measured and rejected").
+            upd = jnp.concatenate([d_tok, d_neg_full], axis=0)
             idx = jnp.concatenate([flat, nflat], axis=0)
             w_cat = w_cat.at[idx].add((-lr) * upd)
         else:
@@ -586,6 +600,33 @@ def sgns_block_chunk(w_in, w_out, walks, neg_table, key, alpha,
 @partial(jax.jit, donate_argnums=())
 def _shuffle_walks(walks, key):
     return walks[jax.random.permutation(key, walks.shape[0])]
+
+
+@partial(jax.jit, static_argnames=("bw",))
+def _blocked_perm(walks, key, bw):
+    """Block-preserving shuffle: permute whole bw-row blocks and rows
+    within each block, never across blocks — keeps each training
+    block's vertex locality for the windowed scatter
+    (cfg.shuffle_mode='block'). Remainder rows keep their place."""
+    NW = walks.shape[0]
+    nb = max(NW // bw, 1)
+    k1, k2 = jax.random.split(key)
+    main = walks[: nb * bw].reshape(nb, bw, -1)
+    main = main[jax.random.permutation(k1, nb)]
+    idx = jnp.argsort(jax.random.uniform(k2, (nb, bw)), axis=1)
+    main = jnp.take_along_axis(main, idx[:, :, None], axis=1)
+    return jnp.concatenate(
+        [main.reshape(nb * bw, walks.shape[1]), walks[nb * bw:]], axis=0
+    )
+
+
+@partial(jax.jit, static_argnames=("bw",))
+def _prepare_epoch_blocked(walks, keep, key, bw):
+    """Blocked shuffle + subsample in ONE compiled program (eager
+    per-epoch gathers would pay tunnel dispatch per op)."""
+    k1, k2 = jax.random.split(key)
+    w = _blocked_perm(walks, k1, bw)
+    return _subsample_compact(w, keep[jnp.maximum(w, 0)], k2)
 
 
 @partial(jax.jit, static_argnames=("n", "embed_size"),
@@ -767,7 +808,20 @@ class SkipGramTrainer:
             if t + epoch_steps <= resume_step:
                 t += epoch_steps  # fully-resumed epoch: skip its
                 continue  # corpus shuffle too
-            if keep_tok is not None:
+            if cfg.shuffle_mode == "block":
+                # block-preserving shuffle (windowed-scatter locality);
+                # subsampling still applies, AFTER the permutation, so
+                # compaction never crosses block rows
+                if keep is not None:
+                    shuffled = _prepare_epoch_blocked(
+                        walks, keep, jax.random.fold_in(k_sub, epoch),
+                        bw,
+                    )
+                else:
+                    shuffled = _blocked_perm(
+                        walks, jax.random.fold_in(k_shuf, epoch), bw
+                    )
+            elif keep_tok is not None:
                 shuffled = _prepare_epoch(
                     walks, keep_tok, jax.random.fold_in(k_sub, epoch)
                 )

@@ -352,3 +352,29 @@ def test_sparse_cap_matches_dense():
     np.testing.assert_allclose(outs[0][0], outs[1][0], atol=1e-5)
     np.testing.assert_allclose(outs[0][1], outs[1][1], atol=1e-5)
     np.testing.assert_allclose(outs[0][2], outs[1][2], atol=1e-5)
+
+
+def test_trainer_blocked_shuffle_quality():
+    """shuffle_mode='block' (corpus-order row clustering for large-V
+    locality) must hold the same two-clique separation as the full
+    shuffle — block-preserving permutation is a quality-neutral
+    option (RESULTS.md round 3)."""
+    rng = np.random.default_rng(1)
+    V = 20
+    walks = []
+    for _ in range(400):
+        side = rng.integers(0, 2)
+        walks.append(rng.integers(side * 10, side * 10 + 10, size=8))
+    walks = np.asarray(walks, dtype=np.int32)
+    cfg = SkipGramConfig(embed_size=16, window=3, epochs=4,
+                         block_walks=64, k_shared=16, alpha=0.05,
+                         chunk_steps=8, shuffle_mode="block")
+    trainer = SkipGramTrainer(cfg)
+    w_in, _, _ = trainer.fit(walks, V)
+    emb = np.asarray(w_in)
+    emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    sims = emb @ emb.T
+    within = (sims[:10, :10].sum() - 10) / 90 \
+        + (sims[10:, 10:].sum() - 10) / 90
+    across = sims[:10, 10:].mean()
+    assert within / 2 > across + 0.2
