@@ -109,6 +109,7 @@ def rowsharded_sgns_chunk(
     k_shared,
     update_cap=8.0,
     neg_share_packs=4,
+    prefetch=False,
 ):
     """Build the jitted row-sharded chunk fn over `mesh`'s data axis.
 
@@ -120,6 +121,19 @@ def rowsharded_sgns_chunk(
     packing groups per device, and block offsets stride by the rounded
     global size, so every corpus walk is trained (nothing is dropped to
     rounding).
+
+    `prefetch=True` is SURVEY §8.4-6's double-buffered halo: step t+1's
+    row FETCH (the all_gather(ids) + psum_scatter exchange) is issued
+    against the table BEFORE step t's update lands, so it carries no
+    data dependence on step t's push and the scheduler can hide the
+    fetch under step t's einsums. The cost is one step of row
+    staleness (the hogwild trade, bounded like dp-mode's sync_every=1
+    — quality-gated on the community test in tests/test_parallel.py).
+    On the shared-memory CPU mesh collectives and compute use the same
+    cores, so no speedup is measurable there (the single-chip analogue
+    measured +0.2%, RESULTS.md); the flag exists for real ICI, where
+    async collectives overlap MXU compute. Default off: the exact
+    synchronous update is rowshard's contract.
     """
     S, W, K = chunk_steps, window, k_shared
     n = mesh.shape["data"]
@@ -178,23 +192,24 @@ def rowsharded_sgns_chunk(
             sgns_block_grads_xla,
         )
 
-        def one_step(carry, xs):
-            w_cat = carry
-            off, eff_b, neg, lr = xs
-
+        def ids_of(off, neg):
+            """Token block + id exchange prep for one step (the id
+            exchange is shared by the row fetch and both pushes)."""
             tok = jax.lax.dynamic_slice(walks, (off, 0), (bw_used, L))
             tok = tok.reshape(G, PL)
-            tok_ok = tok >= 0
-            tok_safe = jnp.where(tok_ok, tok, 0)
-
-            # one id exchange per step, shared by the fetch and both
-            # gradient pushes
+            tok_safe = jnp.where(tok >= 0, tok, 0)
             ids = jnp.concatenate(
                 [tok_safe.reshape(-1), neg.reshape(-1)]
             )  # [T]
             local, owned = gather_ids(ids, lo, Vp, "data")
+            return tok, local, owned
+
+        def compute_push(w_cat, tok, local, owned, rows, eff_b, neg,
+                         lr):
+            """Gradients from (possibly prefetched) rows; exact pushes."""
+            tok_ok = tok >= 0
+            tok_safe = jnp.where(tok_ok, tok, 0)
             Tt = G * PL
-            rows = fetch_rows_with(w_cat, local, owned, "data")  # [T, 2D]
             y = rows[: G * PL].reshape(G, PL, C)
             yin = y[..., :D]
             yout = y[..., D:]
@@ -264,8 +279,43 @@ def rowsharded_sgns_chunk(
             )
             return w_cat, loss
 
-        w_cat, losses = jax.lax.scan(
-            one_step, w_cat, (offs, eff, negs, lrs)
+        if not prefetch:
+            def one_step(carry, xs):
+                w_cat = carry
+                off, eff_b, neg, lr = xs
+                tok, local, owned = ids_of(off, neg)
+                rows = fetch_rows_with(w_cat, local, owned, "data")
+                return compute_push(
+                    w_cat, tok, local, owned, rows, eff_b, neg, lr
+                )
+
+            w_cat, losses = jax.lax.scan(
+                one_step, w_cat, (offs, eff, negs, lrs)
+            )
+            return w_cat, losses
+
+        # double-buffered halo (see docstring): the fetch for step t+1
+        # is issued against w_cat BEFORE step t's pushes land — no data
+        # dependence on the update, so it can hide under the einsums;
+        # rows are one step stale (quality-gated)
+        def one_step_pf(carry, xs):
+            w_cat, tok, local, owned, rows = carry
+            eff_b, neg, lr, off_n, neg_n = xs
+            tok_n, local_n, owned_n = ids_of(off_n, neg_n)
+            rows_n = fetch_rows_with(w_cat, local_n, owned_n, "data")
+            w_cat, loss = compute_push(
+                w_cat, tok, local, owned, rows, eff_b, neg, lr
+            )
+            return (w_cat, tok_n, local_n, owned_n, rows_n), loss
+
+        tok0, local0, owned0 = ids_of(offs[0], negs[0])
+        rows0 = fetch_rows_with(w_cat, local0, owned0, "data")
+        offs_n = jnp.roll(offs, -1)
+        negs_n = jnp.roll(negs, -1, axis=0)
+        (w_cat, _t, _l, _o, _r), losses = jax.lax.scan(
+            one_step_pf,
+            (w_cat, tok0, local0, owned0, rows0),
+            (eff, negs, lrs, offs_n, negs_n),
         )
         return w_cat, losses
 

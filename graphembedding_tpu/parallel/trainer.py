@@ -115,6 +115,7 @@ class DistributedSkipGramTrainer:
                 k_shared=min(cfg.k_shared, num_nodes),
                 update_cap=cfg.update_cap,
                 neg_share_packs=cfg.neg_share_packs,
+                prefetch=cfg.rowshard_prefetch,
             )
         else:
             from graphembedding_tpu.parallel.sgns import (

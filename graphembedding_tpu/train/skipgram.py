@@ -101,6 +101,11 @@ class SkipGramConfig:
     # tiled-arange corpus generators) — corpus-order row clustering
     # for large-V runs; measured quality-neutral and throughput-
     # neutral at 1M nodes (RESULTS.md round 3)
+    rowshard_prefetch: bool = False  # rowshard mode: fetch step t+1's
+    # rows before step t's update lands (SURVEY §8.4-6 double-buffered
+    # halo; parallel/rowshard.py docstring). One step of row staleness
+    # for fetch/compute overlap on real ICI; default off — exact
+    # synchronous updates are rowshard's contract
     dp_sync_every: int = 4  # 'dp'-mode replica sync cadence in steps
     # (parallel/sgns.py delta-SUM sync); 0 -> the module default (4).
     # Replica staleness was the dp quality gap: on the 120-node

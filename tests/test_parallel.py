@@ -850,3 +850,28 @@ def test_model_mesh_end_to_end(model_name, tmp_path):
         ds.X, ds.Y, 0.8
     )
     assert res["micro"] >= gate, (model_name, res["micro"])
+
+
+def test_rowshard_prefetch_quality_gate():
+    """SURVEY §8.4-6 double-buffered halo: rowshard with one-step-stale
+    prefetched rows must score within a small margin of the EXACT
+    synchronous rowshard run on the community test (measured cost of
+    the one-step staleness at this config: ~0.04 micro-F1)."""
+    from graphembedding_tpu.data.datasets import synthetic_wiki
+    from graphembedding_tpu.eval.classify import Classifier
+    from graphembedding_tpu.models import DeepWalk
+
+    ds = synthetic_wiki(num_nodes=120, num_classes=3, avg_degree=8,
+                        seed=5)
+    mesh = make_mesh((len(jax.devices()), 1))
+    scores = {}
+    for pf in (False, True):
+        m = DeepWalk(ds.graph, walk_length=10, num_walks=20, seed=0)
+        m.train(embed_size=32, window_size=5, iter=3, block_walks=64,
+                mesh=mesh, parallel_mode="rowshard",
+                rowshard_prefetch=pf)
+        scores[pf] = Classifier(m.get_embeddings()).split_train_evaluate(
+            ds.X, ds.Y, 0.8
+        )["micro"]
+    assert scores[True] >= scores[False] - 0.1, scores
+    assert scores[True] >= 0.65, scores
