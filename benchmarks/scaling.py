@@ -222,20 +222,27 @@ def main():
                 route_off=control, relabel=relabel,
             )
             walks_d, ov = w.run(jax.random.PRNGKey(3))  # warm
+            # rate from MATCHED (edges, time) pairs per rep: each key
+            # walks a slightly different edge count (dead ends), so
+            # pairing the warm corpus's count with another key's time
+            # would bias the rate
             best = float("inf")
+            best_rate = 0.0
             for r in range(args.reps):
                 t0 = time.time()
                 wd, ov2 = w.run_device(jax.random.PRNGKey(4 + r))
                 _ = int(jnp.sum(wd[-1] >= 0))
-                best = min(best, time.time() - t0)
+                dt = time.time() - t0
+                best = min(best, dt)
+                wd_np = np.asarray(wd)
+                e_r = int(np.sum(wd_np >= 0) - wd_np.shape[0])
+                best_rate = max(best_rate, e_r / dt)
             if control:
                 t_ctl = best
             else:
                 t_full = best
                 rounds_full = w.last_rounds
-                edges = int(np.sum(np.asarray(walks_d) >= 0)
-                            - walks_d.shape[0])
-        rate = edges / t_full
+                rate = best_rate
         # perdev(n)/perdev(1) = weak eff AND strong eff (= speedup/n)
         perdev = rate / n
         if base_perdev is None:

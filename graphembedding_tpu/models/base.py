@@ -31,6 +31,7 @@ class WalkEmbeddingModel:
         self.num_walks = num_walks
         self.seed = seed
         self.mesh = None  # set by subclasses that took mesh=
+        self.walk_overflow = 0  # distributed-walk drops (mesh paths)
         self.walks = None  # device i32 [num_walks * V, walk_length]
         self.w_in = None
         self.w_out = None

@@ -46,8 +46,23 @@ def init_distributed(**kwargs) -> None:
     try:
         jax.distributed.initialize(**kwargs)
     except (RuntimeError, ValueError) as e:
-        if "already" in str(e).lower() or not kwargs:
-            return  # idempotent / single-process best-effort
+        msg = str(e).lower()
+        # jax 0.9 phrases the duplicate-call error "...should only be
+        # called once." — treat both phrasings as idempotent success
+        if "already" in msg or "once" in msg:
+            return
+        if not kwargs:
+            # best-effort pod autodetect: stay single-process but say
+            # so — a silent degrade trains unsynced per-host models
+            import warnings
+
+            warnings.warn(
+                f"jax.distributed.initialize() failed ({e}); "
+                "continuing single-process. Pass explicit coordinator "
+                "kwargs to make this an error instead.",
+                stacklevel=2,
+            )
+            return
         raise
 
 
@@ -71,8 +86,10 @@ def put_global(x, mesh: Mesh, spec) -> jax.Array:
     if jax.process_count() == 1:
         # committed to the mesh sharding (NOT a bare default-device
         # put): checkpoint templates and donation derive shardings
-        # from these arrays
-        return jax.device_put(jnp.asarray(x), sharding)
+        # from these arrays. Device inputs reshard device-to-device —
+        # no host round trip (a np.asarray here would pull a 10 GB
+        # table through PCIe at 10M nodes)
+        return jax.device_put(x, sharding)
     x = np.asarray(x)
     # every process passes the FULL host value with an explicit
     # global_shape: jax slices out each process's shards (verified

@@ -55,8 +55,8 @@ class DistributedSkipGramTrainer:
         from jax.sharding import PartitionSpec as _P
 
         # multi-process meshes: corpus must be a GLOBAL (replicated)
-        # array; single-process this is a plain device put
-        walks = put_global(np.asarray(walks), mesh, _P())
+        # array; single-process this is a device-side put/reshard
+        walks = put_global(walks, mesh, _P())
         NW, L = walks.shape
         if NW < n:
             raise ValueError(
@@ -141,16 +141,13 @@ class DistributedSkipGramTrainer:
 
         if self.mode == "rowshard":
             # match rowsharded_sgns_chunk's specs: rows over 'data'
-            # (put_global: multi-process safe, plain put single-proc)
-            w_cat = put_global(np.asarray(w_cat), mesh,
-                               P("data", None))
+            # (put_global: multi-process safe, device put single-proc)
+            w_cat = put_global(w_cat, mesh, P("data", None))
         else:
             # match sharded_sgns_chunk's table spec: columns over
             # 'model', replicated over 'data'
-            w_in = put_global(np.asarray(w_in), mesh,
-                              P(None, "model"))
-            w_out = put_global(np.asarray(w_out), mesh,
-                               P(None, "model"))
+            w_in = put_global(w_in, mesh, P(None, "model"))
+            w_out = put_global(w_out, mesh, P(None, "model"))
 
         resume_step = 0
         if checkpoint_dir:

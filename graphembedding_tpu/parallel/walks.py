@@ -240,7 +240,7 @@ def partition_layers(layers, num_nodes, n_shards):
 # --------------------------------------------------------------------------- #
 
 
-def _route(fields, lo, vp, me, cap, n, axis):
+def _route(fields, lo, vp, cap, n, axis):
     """Hub-safe walker routing: all_gather state + rank-compaction.
 
     fields: list of [cap] i32 walker-state arrays with the INVARIANT
@@ -398,7 +398,7 @@ def _make_first_order(mesh, *, length, vp, n_walkers, slack, weighted,
                 overflow = jnp.int32(0)
             else:
                 (cur, wid), overflow = _route(
-                    [nxt, wid], lo, vp, me, cap, n, "data"
+                    [nxt, wid], lo, vp, cap, n, "data"
                 )
             out = _record(out, cur, wid, t)
             return (cur, wid, out), overflow
@@ -733,7 +733,7 @@ def distributed_node2vec_walks(
             nxt = jnp.where(alive & (deg > 0), nxt, -1)
             wid = jnp.where(nxt >= 0, wid, -1)
             (cur2, wid, prev2), overflow = _route(
-                [nxt, wid, cur], lo, vp, me, cap, n, "data"
+                [nxt, wid, cur], lo, vp, cap, n, "data"
             )
             out = _record(out, cur2, wid, t)
             return (prev2, cur2, wid, out), overflow
@@ -874,7 +874,7 @@ def distributed_node2vec_rejection_walks(
             nxt = jnp.where(alive & (deg > 0), nxt, -1)
             wid = jnp.where(nxt >= 0, wid, -1)
             (cur2, wid, prev2), overflow = _route(
-                [nxt, wid, cur], lo, vp, me, cap, n, "data"
+                [nxt, wid, cur], lo, vp, cap, n, "data"
             )
             out = _record(out, cur2, wid, t)
             return (prev2, cur2, wid, out), overflow
@@ -1012,7 +1012,7 @@ def distributed_multilayer_walks(
             nxt = jnp.where(alive, nxt, -1)
             wid = jnp.where(nxt >= 0, wid, -1)
             (cur, wid, layer), overflow = _route(
-                [nxt, wid, layer], lo, vp, me, cap, n, "data"
+                [nxt, wid, layer], lo, vp, cap, n, "data"
             )
             layer = jnp.maximum(layer, 0)  # -1 fill on empty slots
             out = _record(out, cur, wid, t)

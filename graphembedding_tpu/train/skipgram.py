@@ -611,11 +611,19 @@ def _shuffle_walks(walks, key):
 def _blocked_perm(walks, key, bw):
     """Block-preserving shuffle: permute whole bw-row blocks and rows
     within each block, never across blocks — keeps each training
-    block's vertex locality for the windowed scatter
-    (cfg.shuffle_mode='block'). Remainder rows keep their place."""
+    block's vertex locality (cfg.shuffle_mode='block').
+
+    The corpus is first ROLLED by a per-epoch random offset so the
+    NW mod bw remainder rows (which the step loop never trains) are
+    different rows each epoch — without the roll the same walks would
+    get zero gradient in every epoch. Rolling keeps rows consecutive,
+    so block locality survives (one wrap block excepted)."""
     NW = walks.shape[0]
     nb = max(NW // bw, 1)
-    k1, k2 = jax.random.split(key)
+    k1, k2, k3 = jax.random.split(key, 3)
+    walks = jnp.roll(
+        walks, jax.random.randint(k3, (), 0, NW), axis=0
+    )
     main = walks[: nb * bw].reshape(nb, bw, -1)
     main = main[jax.random.permutation(k1, nb)]
     idx = jnp.argsort(jax.random.uniform(k2, (nb, bw)), axis=1)

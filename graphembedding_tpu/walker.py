@@ -51,13 +51,20 @@ class RandomWalker:
         """
         del workers, verbose
         if seed is None:
-            seed = self.seed + self._calls
+            # fold the call counter into the instance key: seed+calls
+            # would collide walker(seed=s) call k with walker(seed=s+k)
+            # call 0 — "independent" walkers sharing corpus blocks
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(self.seed), self._calls
+            )
             self._calls += 1
+        else:
+            key = jax.random.PRNGKey(seed)
         kind = "uniform" if (self.p == 1.0 and self.q == 1.0) else \
             "node2vec"
         walks = _device_walks(
             self.graph, num_walks, walk_length,
-            jax.random.PRNGKey(seed), kind=kind, p=self.p, q=self.q,
+            key, kind=kind, p=self.p, q=self.q,
             use_rejection_sampling=bool(self.use_rejection_sampling),
         )
         return _to_sentences(np.asarray(walks), self.graph.vocab)
@@ -122,8 +129,13 @@ class BiasedWalker:
         from graphembedding_tpu.models.struc2vec import multilayer_walks
 
         if seed is None:
-            seed = self.seed + self._calls
+            # fold_in, not seed+calls (see RandomWalker.simulate_walks)
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(self.seed), self._calls
+            )
             self._calls += 1
+        else:
+            key = jax.random.PRNGKey(seed)
         layers = {
             k: jnp.asarray(v) for k, v in self._resolve_layers().items()
         }
@@ -136,7 +148,7 @@ class BiasedWalker:
             layers["alias"],
             layers["gamma"],
             starts,
-            jax.random.PRNGKey(seed),
+            key,
             jnp.float32(stay_prob),
             length=walk_length,
         )
