@@ -20,7 +20,7 @@ import time
 import numpy as np
 
 
-def measure_tpu(n_warm=1, n_rep=3):
+def measure_tpu(n_warm=1, n_rep=4):
     import jax
     import jax.numpy as jnp
 
@@ -43,8 +43,10 @@ def measure_tpu(n_warm=1, n_rep=3):
     _ = float(walks[0, 0])
     # time a WINDOW of walk calls per sync (distinct keys — the tunnel
     # memoizes identical calls) so round-trip latency amortizes out, as
-    # in the SGNS measurement below
-    walks_per_window = 4
+    # in the SGNS measurement below; 8 calls x 4 reps keeps the min
+    # stable against shared-tunnel queueing spikes (observed 41-64M
+    # spread at 4x3 on a busy day)
+    walks_per_window = 8
     times = []
     for r in range(n_rep):
         t0 = time.time()
