@@ -38,79 +38,71 @@ def measure_row_issue(v=2405, c=256, n_rows=45696, reps=4, window=64):
     # `window` iterations inside ONE compiled scan per timed call, so
     # per-dispatch overhead (the shared tunnel's round trip is ~ms)
     # amortizes exactly as it does in the real 64-step training chunk.
-    # Distinct ids per iteration AND per call (the tunnel memoizes
-    # identical (program, inputs); RNG stays inside the program).
+    # ALL ids are pre-generated and scanned over — per-iteration RNG
+    # inside the timed program measured ~400 µs/iter here, dwarfing
+    # the row traffic, and the subtraction baseline it required went
+    # degenerate whenever the host was loaded (round-3 bench logs).
+    # Distinct ids per iteration and per call (the tunnel memoizes
+    # identical (program, inputs)).
     @jax.jit
-    def gather_scan(table, key):
-        def step(acc, k):
-            ids = jax.random.randint(k, (n_rows,), 0, v, jnp.int32)
+    def ids_for(key):
+        return jax.random.randint(
+            key, (window, n_rows), 0, v, jnp.int32
+        )
+
+    @jax.jit
+    def gather_scan(table, ids):
+        def step(acc, ids_i):
             # consume every gathered row (a [0, :1] probe lets XLA DCE
             # the gather down to one element); the reduction fuses into
             # the gather so the measured cost is the row reads
-            return acc + table[ids].sum(axis=0)[:1], None
+            return acc + table[ids_i].sum(axis=0)[:1], None
 
         acc, _ = jax.lax.scan(
-            step, jnp.zeros((1,), jnp.float32),
-            jax.random.split(key, window),
+            step, jnp.zeros((1,), jnp.float32), ids
         )
         return acc
 
     @jax.jit
-    def scatter_scan(table, key, grads):
-        def step(tbl, k):
-            ids = jax.random.randint(k, (n_rows,), 0, v, jnp.int32)
-            return tbl.at[ids].add(grads), None
+    def scatter_scan(table, ids, grads):
+        def step(tbl, ids_i):
+            return tbl.at[ids_i].add(grads), None
 
-        tbl, _ = jax.lax.scan(step, table, jax.random.split(key, window))
+        tbl, _ = jax.lax.scan(step, table, ids)
         return tbl
 
     @jax.jit
-    def scatter_sorted_scan(table, key, grads):
+    def scatter_sorted_scan(table, ids, grads):
         # sort ids (payload follows via one extra gather) before the
         # scatter — probes whether scatter cost at large V is locality
-        def step(tbl, k):
-            ids = jax.random.randint(k, (n_rows,), 0, v, jnp.int32)
-            order = jnp.argsort(ids)
-            return tbl.at[ids[order]].add(grads[order]), None
+        def step(tbl, ids_i):
+            order = jnp.argsort(ids_i)
+            return tbl.at[ids_i[order]].add(grads[order]), None
 
-        tbl, _ = jax.lax.scan(step, table, jax.random.split(key, window))
+        tbl, _ = jax.lax.scan(step, table, ids)
         return tbl
 
-    # isolate the RNG cost (same scan, no row traffic) to subtract
-    @jax.jit
-    def rng_scan(key):
-        def step(acc, k):
-            ids = jax.random.randint(k, (n_rows,), 0, v, jnp.int32)
-            return acc + ids[:1], None
+    ids0 = ids_for(key)
+    _ = float(gather_scan(table, ids0)[0])
+    _ = float(scatter_scan(table, ids0, grads)[0, 0])
+    _ = float(scatter_sorted_scan(table, ids0, grads)[0, 0])
 
-        acc, _ = jax.lax.scan(
-            step, jnp.zeros((1,), jnp.int32),
-            jax.random.split(key, window),
-        )
-        return acc
-
-    _ = float(gather_scan(table, key)[0])
-    _ = float(scatter_scan(table, key, grads)[0, 0])
-    _ = float(scatter_sorted_scan(table, key, grads)[0, 0])
-    _ = int(rng_scan(key)[0])
-
-    def time_best(fn, *args):
+    def time_best(fn, *extra):
         best = float("inf")
         for r in range(reps):
-            k = jax.random.fold_in(key, 1000 + r)
+            ids = ids_for(jax.random.fold_in(key, 1000 + r))
+            _ = int(ids[0, 0])  # ids materialized OUTSIDE the window
             t0 = time.time()
-            out = fn(*args, k) if len(args) < 2 else fn(args[0], k, args[1])
+            out = fn(table, ids, *extra)
             _ = float(jnp.asarray(out).reshape(-1)[0])
             best = min(best, (time.time() - t0) / window)
         return best
 
-    t_rng = time_best(rng_scan)
-    t_g = max(time_best(gather_scan, table) - t_rng, 1e-9)
-    t_s = max(time_best(scatter_scan, table, grads) - t_rng, 1e-9)
-    t_ss = max(time_best(scatter_sorted_scan, table, grads) - t_rng,
-               1e-9)
+    t_g = time_best(gather_scan)
+    t_s = time_best(scatter_scan, grads)
+    t_ss = time_best(scatter_sorted_scan, grads)
     return (t_g / n_rows * 1e9, t_s / n_rows * 1e9,
-            t_ss / n_rows * 1e9, t_rng)
+            t_ss / n_rows * 1e9, 0.0)
 
 
 def main():
@@ -119,7 +111,7 @@ def main():
     p.add_argument("--c", type=int, default=256)
     p.add_argument("--rows", type=int, default=45696)
     args = p.parse_args()
-    g_ns, s_ns, ss_ns, t_rng = measure_row_issue(
+    g_ns, s_ns, ss_ns, _ = measure_row_issue(
         args.v, args.c, args.rows
     )
     print(json.dumps({
@@ -127,7 +119,6 @@ def main():
         "gather_ns_per_row": round(g_ns, 2),
         "scatter_ns_per_row": round(s_ns, 2),
         "scatter_sorted_ns_per_row": round(ss_ns, 2),
-        "rng_us_per_step": round(t_rng * 1e6, 1),
     }))
 
 
