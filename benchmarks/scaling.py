@@ -234,9 +234,14 @@ def main():
                 _ = int(jnp.sum(wd[-1] >= 0))
                 dt = time.time() - t0
                 best = min(best, dt)
-                wd_np = np.asarray(wd)
-                e_r = int(np.sum(wd_np >= 0) - wd_np.shape[0])
-                best_rate = max(best_rate, e_r / dt)
+                if not control:  # control's rate is never consumed
+                    wd_np = np.asarray(wd)
+                    # run_device keeps filler walker rows (start -1):
+                    # count edges only on real rows, or the filler
+                    # subtracts one edge each, skewing with n
+                    e_r = int(np.sum(wd_np >= 0)
+                              - np.sum(wd_np[:, 0] >= 0))
+                    best_rate = max(best_rate, e_r / dt)
             if control:
                 t_ctl = best
             else:

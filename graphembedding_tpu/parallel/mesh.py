@@ -48,8 +48,9 @@ def init_distributed(**kwargs) -> None:
     except (RuntimeError, ValueError) as e:
         msg = str(e).lower()
         # jax 0.9 phrases the duplicate-call error "...should only be
-        # called once." — treat both phrasings as idempotent success
-        if "already" in msg or "once" in msg:
+        # called once." — anchor on the full phrase (a bare "once"
+        # would also match unrelated coordination errors)
+        if "already" in msg or "only be called once" in msg:
             return
         if not kwargs:
             # best-effort pod autodetect: stay single-process but say
@@ -83,6 +84,8 @@ def put_global(x, mesh: Mesh, spec) -> jax.Array:
     from jax.sharding import NamedSharding
 
     sharding = NamedSharding(mesh, spec)
+    if not isinstance(x, (jax.Array, np.ndarray)):
+        x = np.asarray(x)  # lists etc.: device_put would pytree them
     if jax.process_count() == 1:
         # committed to the mesh sharding (NOT a bare default-device
         # put): checkpoint templates and donation derive shardings

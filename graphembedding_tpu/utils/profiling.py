@@ -135,7 +135,12 @@ class Roofline:
 
     @property
     def pairs_per_s_overlap_ceiling(self):
-        return self.pairs_per_s_rowtraffic_ceiling
+        # pre-round-3 semantics preserved: perfect-overlap max() over
+        # all phases — still a true upper bound for compute-bound
+        # shapes, unlike the row-traffic ceiling alone
+        return self.pairs / max(
+            self.t_gather + self.t_scatter, self.t_compute, self.t_vpu
+        )
 
     @property
     def pairs_per_s_ceiling(self):
