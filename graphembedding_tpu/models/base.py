@@ -63,6 +63,10 @@ class WalkEmbeddingModel:
         hs=0,  # 1 -> hierarchical softmax (the reference's
         # Word2Vec(hs=1) objective for DeepWalk/Struc2Vec; SGNS is the
         # default performance path per SURVEY.md §9)
+        trainer="block",  # 'block' (sampled walk-block SGNS, the
+        # scale path) | 'dense' (closed-form expected-SGNS
+        # factorization, train/dense.py — small graphs only, trains
+        # reference-scale corpora in ~0.2 s at equal-or-better F1)
         checkpoint_dir=None,  # Orbax checkpoint/resume (SURVEY.md §6)
         checkpoint_every=0,
         metrics=None,  # utils.metrics.MetricsLogger
@@ -84,6 +88,28 @@ class WalkEmbeddingModel:
 
         cfg_fields = {f.name for f in dataclasses.fields(SkipGramConfig)}
         cfg_extra = {k: v for k, v in kwargs.items() if k in cfg_fields}
+        if trainer == "dense":
+            if hs:
+                raise ValueError("trainer='dense' trains the SGNS "
+                                 "objective; use hs=0")
+            from graphembedding_tpu.train.dense import DenseSGNSTrainer
+
+            dtr = DenseSGNSTrainer(
+                embed_size=embed_size,
+                window=kwargs.get("window", window_size),
+                negative=negative,
+                seed=kwargs.get("seed", self.seed),
+                **{k: kwargs[k] for k in ("steps", "lr", "max_nodes")
+                   if k in kwargs},
+            )
+            self.w_in, self.w_out, self.losses = dtr.fit(
+                self.walks, self.graph.num_nodes,
+                jax.random.PRNGKey(kwargs.get("seed", self.seed) + 1),
+            )
+            self._embeddings = None
+            return self
+        if trainer != "block":
+            raise ValueError(f"unknown trainer {trainer!r}")
         fit_kw = dict(checkpoint_dir=checkpoint_dir,
                       checkpoint_every=checkpoint_every,
                       metrics=metrics)
