@@ -381,15 +381,27 @@ class LINE:
 
     def train(self, batch_size=1024, epochs=1, initial_lr=0.025,
               verbose=0, times=1, checkpoint_dir=None,
-              checkpoint_every=0, mesh=None, sync_every=None):
+              checkpoint_every=0, mesh=None, sync_every=None,
+              trainer="sampled", steps=300, lr=0.1):
         """Reference signature plus checkpoint_dir/-every (Orbax
         checkpoint + resume per trained order, subdirectories
         'first' / 'second' under checkpoint_dir) and mesh= (data-
         parallel edge batches over the mesh — parallel/line.py;
-        batch_size is global)."""
+        batch_size is global).
+
+        `trainer='dense'` optimizes LINE's EXPECTED objective in
+        closed form (train/dense.py): the positive-pair expectation of
+        edge sampling is just the weighted adjacency, negatives are
+        the rank-1 wdeg^0.75 expectation, so each Adam step is a
+        couple of [V,V]x[V,D] MXU matmuls — no sampling noise, small
+        graphs only (V <= ~32k)."""
         del verbose
         import os
         g = self.graph
+        if trainer == "dense":
+            return self._train_dense(steps=steps, lr=lr)
+        if trainer != "sampled":
+            raise ValueError(f"unknown trainer {trainer!r}")
         # reference steps/epoch: ceil(E*times*(1+neg_ratio)/batch) —
         # `times` multiplies per-epoch samples (`reset_training_config
         # [U]`); our fused step covers 1 positive + K negatives at
@@ -449,6 +461,54 @@ class LINE:
                 sync_every=sync_every,
             )
             self.losses = l2
+        self._embeddings = None
+        return self
+
+    def _train_dense(self, *, steps, lr):
+        """Closed-form expected-LINE (see train docstring)."""
+        from graphembedding_tpu.train.dense import _dense_fit
+
+        g = self.graph
+        V = g.num_nodes
+        if V > (1 << 15):
+            raise ValueError(
+                "trainer='dense' is for V <= 32768; use the sampled "
+                "trainer at scale"
+            )
+        src, dst, w = g.edges()
+
+        @jax.jit
+        def adjacency(src, dst, w):
+            A = jnp.zeros((V * V,), jnp.float32)
+            return A.at[src * V + dst].add(w).reshape(V, V)
+
+        A = adjacency(jnp.asarray(src.astype(np.int64)),
+                      jnp.asarray(dst.astype(np.int64)),
+                      jnp.asarray(w, jnp.float32))
+        wdeg = A.sum(axis=1)
+        q = jnp.power(jnp.maximum(wdeg, 0.0), 0.75)
+        key = jax.random.PRNGKey(self.seed + 1)
+        losses = []
+        if self.order in ("first", "all"):
+            self.first_emb, _, l1 = _dense_fit(
+                A, key, jnp.float32(self.negative_ratio),
+                jnp.float32(0.75), jnp.float32(lr), jnp.float32(0.9),
+                jnp.float32(0.99), jnp.float32(1e-8),
+                num_nodes=V, embed_size=self.embedding_size,
+                steps=steps, q=q, tied=True,
+            )
+            losses.append(l1)
+        if self.order in ("second", "all"):
+            self.second_emb, self.context_emb, l2 = _dense_fit(
+                A, jax.random.fold_in(key, 1),
+                jnp.float32(self.negative_ratio), jnp.float32(0.75),
+                jnp.float32(lr), jnp.float32(0.9), jnp.float32(0.99),
+                jnp.float32(1e-8),
+                num_nodes=V, embed_size=self.embedding_size,
+                steps=steps, q=q, tied=False,
+            )
+            losses.append(l2)
+        self.losses = jnp.concatenate(losses)
         self._embeddings = None
         return self
 

@@ -107,14 +107,24 @@ class DenseSGNSTrainer:
 
 @partial(
     jax.jit,
-    static_argnames=("num_nodes", "embed_size", "steps"),
+    static_argnames=("num_nodes", "embed_size", "steps", "tied"),
 )
 def _dense_fit(C, key, negative, ns_exponent, lr, b1, b2, eps, *,
-               num_nodes, embed_size, steps):
+               num_nodes, embed_size, steps, q=None, tied=False):
+    """Adam on the closed-form expected-SGNS gradient.
+
+    C [V, V]: expected positive-pair weights (co-occurrence counts for
+    walk corpora; the weighted adjacency for LINE's edge sampling).
+    q (optional [V]): the negative-sampling distribution; defaults to
+    the walk-corpus unigram^ns_exponent. `tied=True` trains one shared
+    table (LINE first-order's symmetric dot): the gradient becomes
+    (G + G^T) @ U.
+    """
     V, D = num_nodes, embed_size
     occ = C.sum(axis=1)  # expected pair count per center
-    counts = C.sum(axis=1) + C.sum(axis=0)
-    q = jnp.power(jnp.maximum(counts, 0.0), ns_exponent)
+    if q is None:
+        counts = C.sum(axis=1) + C.sum(axis=0)
+        q = jnp.power(jnp.maximum(counts, 0.0), ns_exponent)
     q = q / jnp.maximum(q.sum(), 1e-12)
     negw = negative * occ[:, None] * q[None, :]  # rank-1 weights
     scale = 1.0 / jnp.maximum(C.sum(), 1.0)  # per-pair normalization
@@ -124,11 +134,15 @@ def _dense_fit(C, key, negative, ns_exponent, lr, b1, b2, eps, *,
 
     def step(carry, _):
         U, W, mU, vU, mW, vW, t = carry
-        logits = U @ W.T  # [V, V] on the MXU
+        logits = U @ (U.T if tied else W.T)  # [V, V] on the MXU
         S = jax.nn.sigmoid(logits)
         G = (C * (S - 1.0) + negw * S) * scale
-        dU = G @ W
-        dW = G.T @ U
+        if tied:
+            dU = (G + G.T) @ U
+            dW = jnp.zeros_like(W)
+        else:
+            dU = G @ W
+            dW = G.T @ U
         t = t + 1
 
         def adam(p, g, m, v):

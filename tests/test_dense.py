@@ -81,3 +81,21 @@ def test_dense_trainer_guards():
         m.train(trainer="dense", hs=1)
     with pytest.raises(ValueError):
         m.train(trainer="nope")
+
+
+def test_line_dense_trainer():
+    """LINE trainer='dense': closed-form expected objective — first
+    order must separate communities at least as well as the sampled
+    second-order path on the small community graph."""
+    from graphembedding_tpu.models.line import LINE
+
+    ds = synthetic_wiki(num_nodes=120, num_classes=3, avg_degree=8,
+                        seed=5)
+    m = LINE(ds.graph, embedding_size=32, order="all")
+    m.train(trainer="dense", steps=200)
+    res = Classifier(m.get_embeddings()).split_train_evaluate(
+        ds.X, ds.Y, 0.8
+    )
+    assert res["micro"] >= 0.85, res["micro"]
+    with pytest.raises(ValueError):
+        m.train(trainer="nope")
