@@ -498,12 +498,13 @@ class Struc2Vec(WalkEmbeddingModel):
     def train(self, embed_size=128, window_size=5, workers=None, iter=5,
               hs=1, **kwargs):
         """Defaults to hs=1 (hierarchical softmax), matching the
-        reference's `Word2Vec(sg=1, hs=1)` — and measured necessary:
-        on flight-brazil, hs=1 scores micro-F1 0.96-1.00 vs ~0.70 for
-        SGNS (structural-role embeddings favor the exact softmax
-        objective; the SURVEY.md §9 parity criterion fails for SGNS
-        here, unlike the homophily models). Pass hs=0 for the faster
-        negative-sampling trainer."""
+        reference's `Word2Vec(sg=1, hs=1)`: on flight-brazil, hs=1
+        scores micro-F1 0.93 (3-seed mean) vs ~0.70 for SAMPLED SGNS.
+        Round 3 found the gap is sampling noise, not the objective —
+        `train(hs=0, trainer='dense')` (closed-form EXPECTED SGNS,
+        train/dense.py) matches hs=1 exactly (0.9259 3-seed mean) and
+        is faster; hs=1 stays the default for reference parity.
+        Pass hs=0 alone for the sampled negative-sampling trainer."""
         return self._fit_skipgram(
             embed_size=embed_size,
             window_size=window_size,

@@ -99,3 +99,21 @@ def test_line_dense_trainer():
     assert res["micro"] >= 0.85, res["micro"]
     with pytest.raises(ValueError):
         m.train(trainer="nope")
+
+
+def test_struc2vec_dense_trainer_quality(tmp_path):
+    """The dense EXPECTED-SGNS objective closes Struc2Vec's sampled-
+    SGNS quality gap (sampled ~0.70 on flight-brazil vs hs=1's ~0.93;
+    dense measures 0.89/0.96/0.93 across seeds 1-3 — the deficit was
+    sampling noise, not the objective). Gate one seed here."""
+    from graphembedding_tpu.data.datasets import synthetic_flight
+    from graphembedding_tpu.models import Struc2Vec
+
+    ds = synthetic_flight()
+    m = Struc2Vec(ds.graph, walk_length=10, num_walks=80,
+                  temp_path=str(tmp_path) + "/", seed=3)
+    m.train(hs=0, trainer="dense", steps=300)
+    r = Classifier(m.get_embeddings()).split_train_evaluate(
+        ds.X, ds.Y, 0.8, seed=0
+    )
+    assert r["micro"] >= 0.8, r["micro"]
