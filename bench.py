@@ -112,7 +112,24 @@ def measure_tpu(n_warm=1, n_rep=4):
         g.vocab.idx2node[i]: table_np[i] for i in range(g.num_nodes)
     }
     res = Classifier(emb).split_train_evaluate(ds.X, ds.Y, 0.8, seed=0)
-    return walk_eps, pairs_per_s, res["micro"]
+
+    # ---- dense expected-SGNS (round-3 capability, train/dense.py) -------
+    from graphembedding_tpu.train.dense import DenseSGNSTrainer
+
+    dtr = DenseSGNSTrainer(steps=100)
+    w_d, _, _ = dtr.fit(walks, g.num_nodes)  # compile
+    _ = float(w_d.sum())
+    t0 = time.time()
+    w_d, _, _ = DenseSGNSTrainer(steps=100, seed=1).fit(
+        walks, g.num_nodes
+    )
+    _ = float(w_d.sum())
+    dense_s = time.time() - t0
+    emb_d = np.asarray(w_d)
+    e_d = {g.vocab.idx2node[i]: emb_d[i] for i in range(g.num_nodes)}
+    res_d = Classifier(e_d).split_train_evaluate(ds.X, ds.Y, 0.8,
+                                                 seed=0)
+    return walk_eps, pairs_per_s, res["micro"], dense_s, res_d["micro"]
 
 
 def measure_cpu_baseline(max_seconds=20.0):
@@ -156,7 +173,7 @@ def measure_cpu_baseline(max_seconds=20.0):
 
 
 def main():
-    walk_eps, pairs_per_s, micro_f1 = measure_tpu()
+    walk_eps, pairs_per_s, micro_f1, dense_s, dense_f1 = measure_tpu()
     baseline = measure_cpu_baseline()
 
     # analytic roofline of the measured step shape (BASELINE's
@@ -215,6 +232,10 @@ def main():
                     ),
                     "cpu_baseline_pairs_per_s": round(baseline),
                     "wiki_micro_f1": round(float(micro_f1), 4),
+                    "dense_trainer_fit_s": round(dense_s, 3),
+                    "dense_trainer_micro_f1": round(
+                        float(dense_f1), 4
+                    ),
                     "roofline_pairs_per_s": round(ceil),
                     "pct_of_roofline": round(
                         100.0 * pairs_per_s / ceil, 1

@@ -32,6 +32,11 @@ def make_parser(name: str, dataset_default: str) -> argparse.ArgumentParser:
                    help="write a t-SNE scatter to this file")
     p.add_argument("--json", action="store_true",
                    help="print results as one JSON line")
+    p.add_argument("--trainer", default="block",
+                   choices=("block", "dense"),
+                   help="'dense' = closed-form expected-SGNS "
+                        "(train/dense.py; small graphs, ~0.2 s at "
+                        "wiki scale)")
     p.add_argument("--mesh", default=None, metavar="DATA[xMODEL]",
                    help="train over a device mesh, e.g. '8' or '4x2' "
                         "(data x model axes; needs that many JAX "

@@ -13,7 +13,8 @@ def build_and_train(ds, args):
     model = DeepWalk(ds.graph, walk_length=10, num_walks=80,
                      seed=args.seed)
     model.train(embed_size=args.embed_size, window_size=5, iter=3,
-                mesh=mesh_from_args(args))
+                mesh=mesh_from_args(args),
+                trainer=getattr(args, "trainer", "block"))
     return model
 
 
