@@ -17,8 +17,10 @@ from graphembedding_tpu.models import LINE
 def build_and_train(ds, args):
     model = LINE(ds.graph, embedding_size=args.embed_size,
                  order=args.order, seed=args.seed)
+    trainer = getattr(args, "trainer", "block")
     model.train(batch_size=1024, epochs=args.epochs,
-                mesh=mesh_from_args(args))
+                mesh=mesh_from_args(args),
+                trainer="dense" if trainer == "dense" else "sampled")
     return model
 
 

@@ -12,8 +12,12 @@ from graphembedding_tpu.models import LINE
 def build_and_train(ds, args):
     model = LINE(ds.graph, embedding_size=args.embed_size,
                  order="second", seed=args.seed)
+    # LINE's trainer values are 'sampled' | 'dense' (the CLI's 'block'
+    # means the sampled default)
+    trainer = getattr(args, "trainer", "block")
     model.train(batch_size=1024, epochs=50,
-                mesh=mesh_from_args(args))
+                mesh=mesh_from_args(args),
+                trainer="dense" if trainer == "dense" else "sampled")
     return model
 
 

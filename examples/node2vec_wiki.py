@@ -13,7 +13,8 @@ def build_and_train(ds, args):
     model = Node2Vec(ds.graph, walk_length=10, num_walks=80, p=0.25,
                      q=4.0, seed=args.seed)
     model.train(embed_size=args.embed_size, window_size=5, iter=3,
-                mesh=mesh_from_args(args))
+                mesh=mesh_from_args(args),
+                trainer=getattr(args, "trainer", "block"))
     return model
 
 

@@ -13,8 +13,12 @@ from graphembedding_tpu.models import Struc2Vec
 def build_and_train(ds, args):
     model = Struc2Vec(ds.graph, walk_length=10, num_walks=80,
                       workers=4, verbose=40, seed=args.seed)
+    trainer = getattr(args, "trainer", "block")
+    # the dense expected-SGNS trainer matches hs=1 quality (RESULTS.md)
+    # but trains the SGNS objective — switch hs off when selected
     model.train(embed_size=args.embed_size, window_size=5, iter=5,
-                mesh=mesh_from_args(args))
+                mesh=mesh_from_args(args), trainer=trainer,
+                **({"hs": 0} if trainer == "dense" else {}))
     return model
 
 

@@ -92,6 +92,14 @@ class WalkEmbeddingModel:
             if hs:
                 raise ValueError("trainer='dense' trains the SGNS "
                                  "objective; use hs=0")
+            if mesh is not None or checkpoint_dir or metrics:
+                raise ValueError(
+                    "trainer='dense' is the single-chip small-graph "
+                    "path and does not support mesh=, checkpoint_dir= "
+                    "or metrics= (a silent downgrade would be worse "
+                    "than an error; use the walk-block trainer for "
+                    "those)"
+                )
             from graphembedding_tpu.train.dense import DenseSGNSTrainer
 
             dtr = DenseSGNSTrainer(

@@ -466,14 +466,19 @@ class LINE:
 
     def _train_dense(self, *, steps, lr):
         """Closed-form expected-LINE (see train docstring)."""
-        from graphembedding_tpu.train.dense import _dense_fit
+        from graphembedding_tpu.train.dense import (
+            DenseSGNSConfig,
+            _dense_fit,
+        )
 
+        # one source of truth for the size cap and Adam constants
+        dcfg = DenseSGNSConfig(steps=steps, lr=lr, seed=self.seed)
         g = self.graph
         V = g.num_nodes
-        if V > (1 << 15):
+        if V > dcfg.max_nodes:
             raise ValueError(
-                "trainer='dense' is for V <= 32768; use the sampled "
-                "trainer at scale"
+                f"trainer='dense' is for V <= {dcfg.max_nodes}; use "
+                "the sampled trainer at scale"
             )
         src, dst, w = g.edges()
 
@@ -489,23 +494,22 @@ class LINE:
         q = jnp.power(jnp.maximum(wdeg, 0.0), 0.75)
         key = jax.random.PRNGKey(self.seed + 1)
         losses = []
-        if self.order in ("first", "all"):
-            self.first_emb, _, l1 = _dense_fit(
-                A, key, jnp.float32(self.negative_ratio),
-                jnp.float32(0.75), jnp.float32(lr), jnp.float32(0.9),
-                jnp.float32(0.99), jnp.float32(1e-8),
+        def fit(k, tied):
+            return _dense_fit(
+                A, k, jnp.float32(self.negative_ratio),
+                jnp.float32(dcfg.ns_exponent), jnp.float32(dcfg.lr),
+                jnp.float32(dcfg.b1), jnp.float32(dcfg.b2),
+                jnp.float32(dcfg.eps),
                 num_nodes=V, embed_size=self.embedding_size,
-                steps=steps, q=q, tied=True,
+                steps=dcfg.steps, q=q, tied=tied,
             )
+
+        if self.order in ("first", "all"):
+            self.first_emb, _, l1 = fit(key, True)
             losses.append(l1)
         if self.order in ("second", "all"):
-            self.second_emb, self.context_emb, l2 = _dense_fit(
-                A, jax.random.fold_in(key, 1),
-                jnp.float32(self.negative_ratio), jnp.float32(0.75),
-                jnp.float32(lr), jnp.float32(0.9), jnp.float32(0.99),
-                jnp.float32(1e-8),
-                num_nodes=V, embed_size=self.embedding_size,
-                steps=steps, q=q, tied=False,
+            self.second_emb, self.context_emb, l2 = fit(
+                jax.random.fold_in(key, 1), False
             )
             losses.append(l2)
         self.losses = jnp.concatenate(losses)

@@ -12,10 +12,13 @@ closed form:
 where C is the expected window-pair count matrix of the corpus (the
 dynamic-window shrink enters as its exact expectation P(eff >= d) =
 (W-d+1)/W — no RNG), occ[c] = sum_x C[c,x], and q is the unigram^0.75
-negative distribution. This is the same objective the sampled trainer
-estimates (Levy & Goldberg's implicit-MF view of SGNS), with ZERO
-sampling variance; gradients are three [V,V]x[V,D] matmuls per step —
-pure MXU work.
+negative distribution. This is the sampled trainer's objective (Levy
+& Goldberg's implicit-MF view of SGNS) with ZERO sampling variance,
+modulo one deliberate omission: frequent-node SUBSAMPLING
+(`sample=1e-3` in the sampled trainer) is not folded into C — its
+exact expectation under window compaction has no clean closed form,
+and it measured F1-neutral at wiki scale (RESULTS.md). Gradients are
+three [V,V]x[V,D] matmuls per step — pure MXU work.
 
 Scope: tables up to V ~ 2e4 (the [V, V] activations are V^2 * 4 B * ~3
 buffers). The walk-block trainer remains the scale path; this one
@@ -88,6 +91,15 @@ class DenseSGNSTrainer:
                 f"dense trainer is for V <= {cfg.max_nodes} (got "
                 f"{num_nodes}); use the walk-block trainer at scale"
             )
+        if num_nodes > 46340:
+            # the co-occurrence scatter flattens to a*V+b in int32
+            # (jax's default itype); beyond floor(sqrt(2^31)) the flat
+            # index overflows and the scatter silently drops entries —
+            # error rather than corrupt, whatever max_nodes was set to
+            raise ValueError(
+                "dense trainer's flat co-occurrence index overflows "
+                f"int32 above V=46340 (got {num_nodes})"
+            )
         if key is None:
             key = jax.random.PRNGKey(cfg.seed)
         walks = jnp.asarray(walks)
@@ -126,7 +138,11 @@ def _dense_fit(C, key, negative, ns_exponent, lr, b1, b2, eps, *,
         counts = C.sum(axis=1) + C.sum(axis=0)
         q = jnp.power(jnp.maximum(counts, 0.0), ns_exponent)
     q = q / jnp.maximum(q.sum(), 1e-12)
-    negw = negative * occ[:, None] * q[None, :]  # rank-1 weights
+    # keep only the rank-1 FACTORS (occ, q); materializing the [V, V]
+    # product here would hold a second V^2 buffer live across the whole
+    # scan — inside the step it fuses into G's elementwise chain
+    occ_n = (negative * occ)[:, None]
+    q_row = q[None, :]
     scale = 1.0 / jnp.maximum(C.sum(), 1.0)  # per-pair normalization
 
     U0 = (jax.random.uniform(key, (V, D)) - 0.5) / D
@@ -136,7 +152,7 @@ def _dense_fit(C, key, negative, ns_exponent, lr, b1, b2, eps, *,
         U, W, mU, vU, mW, vW, t = carry
         logits = U @ (U.T if tied else W.T)  # [V, V] on the MXU
         S = jax.nn.sigmoid(logits)
-        G = (C * (S - 1.0) + negw * S) * scale
+        G = (C * (S - 1.0) + occ_n * q_row * S) * scale
         if tied:
             dU = (G + G.T) @ U
             dW = jnp.zeros_like(W)
@@ -156,7 +172,7 @@ def _dense_fit(C, key, negative, ns_exponent, lr, b1, b2, eps, *,
         W, mW, vW = adam(W, dW, mW, vW)
         loss = -(
             jnp.sum(C * jax.nn.log_sigmoid(logits))
-            + jnp.sum(negw * jax.nn.log_sigmoid(-logits))
+            + jnp.sum(occ_n * q_row * jax.nn.log_sigmoid(-logits))
         ) * scale
         return (U, W, mU, vU, mW, vW, t), loss
 
