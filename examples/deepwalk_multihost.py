@@ -45,6 +45,9 @@ def main():
     p.add_argument("--walk-length", type=int, default=10)
     p.add_argument("--num-walks", type=int, default=20)
     p.add_argument("--iter", type=int, default=3)
+    p.add_argument("--mode", default="dp",
+                   choices=("dp", "rowshard"),
+                   help="sharded training mode (parallel/trainer.py)")
     p.add_argument("--json", action="store_true")
     args = p.parse_args()
 
@@ -76,7 +79,8 @@ def main():
     m = DeepWalk(ds.graph, walk_length=args.walk_length,
                  num_walks=args.num_walks, mesh=mesh)
     m.train(embed_size=32, window_size=5, iter=args.iter,
-            block_walks=8 * len(jax.devices()), parallel_mode="dp")
+            block_walks=8 * len(jax.devices()),
+            parallel_mode=args.mode)
 
     # evaluation is host-side sklearn; every process holds the full
     # table (dp tables are replicated) — rank 0 reports

@@ -15,6 +15,8 @@ import socket
 import subprocess
 import sys
 
+import pytest
+
 
 def _free_port():
     s = socket.socket()
@@ -24,10 +26,14 @@ def _free_port():
     return port
 
 
-def test_two_process_deepwalk_end_to_end(tmp_path):
-    """2 processes x 2 virtual CPU devices: distributed walks + dp
+@pytest.mark.parametrize("mode,gate", [("dp", 0.9), ("rowshard", 0.7)])
+def test_two_process_deepwalk_end_to_end(tmp_path, mode, gate):
+    """2 processes x 2 virtual CPU devices: distributed walks + sharded
     training through the reference API; rank 0's micro-F1 must clear
-    the community gate."""
+    the mode's gate (dp saturates the community test at this config;
+    exact rowshard scores 0.79-0.83 single-process — same cross-process,
+    which is the point: put_global sharded tables + process_allgather
+    preserve the exact semantics)."""
     port = _free_port()
     env = dict(os.environ)
     repo_root = os.path.dirname(os.path.dirname(__file__))
@@ -52,7 +58,8 @@ def test_two_process_deepwalk_end_to_end(tmp_path):
             [sys.executable, script,
              "--coordinator", f"localhost:{port}",
              "--num-processes", "2", "--process-id", str(pid),
-             "--nodes", "120", "--iter", "3", "--json"],
+             "--nodes", "120", "--iter", "3", "--json",
+             "--mode", mode],
             env=env, stdout=log, stderr=subprocess.STDOUT,
             cwd=str(tmp_path),
         ))
@@ -65,4 +72,4 @@ def test_two_process_deepwalk_end_to_end(tmp_path):
     res = json.loads(line)
     assert res["processes"] == 2, res
     assert res["walk_overflow"] == 0, res
-    assert res["micro_f1"] >= 0.9, res
+    assert res["micro_f1"] >= gate, res
