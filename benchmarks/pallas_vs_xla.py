@@ -4,9 +4,8 @@ Decides `use_pallas`'s default (train/skipgram.py). Measured 2026-08-20
 on one v5e chip via tunnel, wiki-scale corpus, default config
 (neg_share_packs=4 now supported by the kernel): XLA 157.1 M pairs/s vs
 Pallas 140.9 M — XLA stays the default; bench.py reports the measured
-rate as a % of the serialized-phase roofline instead
-(utils/profiling.sgns_roofline, constants measured live by
-benchmarks/row_issue.py).
+rate against the serial-floor / row-traffic-ceiling bracket instead
+(utils/profiling.sgns_roofline, constants from benchmarks/row_issue.py).
 
 Run: PYTHONPATH=/root/.axon_site:/root/repo python benchmarks/pallas_vs_xla.py
 """
