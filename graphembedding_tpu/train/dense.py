@@ -49,17 +49,23 @@ def cooccurrence(walks, *, num_nodes, window):
     """
     V, W = num_nodes, window
     NW, L = walks.shape
-    C = jnp.zeros((V * V,), jnp.float32)
+    idxs, vals = [], []
     for d in range(1, min(W, L - 1) + 1):
         w_d = jnp.float32((W - d + 1) / W)
         a = walks[:, : L - d].reshape(-1)
         b = walks[:, d:].reshape(-1)
         ok = (a >= 0) & (b >= 0)
-        idx_f = jnp.where(ok, a * V + b, 0)
-        idx_r = jnp.where(ok, b * V + a, 0)
+        idxs.append(jnp.where(ok, a * V + b, 0))
+        idxs.append(jnp.where(ok, b * V + a, 0))
         val = jnp.where(ok, w_d, 0.0)
-        C = C.at[idx_f].add(val)
-        C = C.at[idx_r].add(val)
+        vals.extend([val, val])
+    # ONE scatter for all distances/directions. Measured cost-neutral
+    # vs 2W separate scatters (XLA scatter is per-element-bound, and
+    # it dominates the warm dense fit at BlogCatalog scale — ~0.6 s of
+    # 0.8 s); kept for the single-kernel form.
+    C = jnp.zeros((V * V,), jnp.float32).at[
+        jnp.concatenate(idxs)
+    ].add(jnp.concatenate(vals))
     return C.reshape(V, V)
 
 
