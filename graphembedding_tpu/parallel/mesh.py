@@ -43,14 +43,20 @@ def init_distributed(**kwargs) -> None:
             jax.config.update("jax_platforms", env)
         except Exception:
             pass  # backend already initialized
+    if getattr(jax.distributed, "is_initialized", None) is not None:
+        if jax.distributed.is_initialized():
+            return  # duplicate call — nothing to do
     try:
         jax.distributed.initialize(**kwargs)
     except (RuntimeError, ValueError) as e:
         msg = str(e).lower()
-        # jax 0.9 phrases the duplicate-call error "...should only be
-        # called once." — anchor on the full phrase (a bare "once"
-        # would also match unrelated coordination errors)
-        if "already" in msg or "only be called once" in msg:
+        # Fallback duplicate-call detection for jax versions without
+        # is_initialized(); restricted to the no-kwargs path so a
+        # genuine coordination failure with explicit kwargs is never
+        # swallowed by a message that happens to contain "already".
+        if not kwargs and (
+            "already" in msg or "only be called once" in msg
+        ):
             return
         if not kwargs:
             # best-effort pod autodetect: stay single-process but say

@@ -619,6 +619,7 @@ def _blocked_perm(walks, key, bw):
     get zero gradient in every epoch. Rolling keeps rows consecutive,
     so block locality survives (one wrap block excepted)."""
     NW = walks.shape[0]
+    bw = min(bw, NW)  # corpus smaller than one block: shrink the block
     nb = max(NW // bw, 1)
     k1, k2, k3 = jax.random.split(key, 3)
     walks = jnp.roll(
