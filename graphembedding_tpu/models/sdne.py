@@ -152,8 +152,12 @@ class SDNE:
         nu2=1e-4,
         seed=0,
     ):
+        # default [256, 128] — the reference's canonical size
+        # (`ge/models/sdne.py — create_model (~L35) [U]` default AND
+        # the example's explicit value, SURVEY §3.1 rows 6+12), so a
+        # defaults-relying migrated caller gets a 128-d embedding
         self.graph = as_graph(graph)
-        self.hidden_size = list(hidden_size or [32, 16])
+        self.hidden_size = list(hidden_size or [256, 128])
         self.alpha = alpha
         self.beta = beta
         self.nu1 = nu1

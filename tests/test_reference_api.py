@@ -1,190 +1,148 @@
-"""Reference-API surface parity: everything a user of
-kangzf/GraphEmbedding expects to find (SURVEY.md §3.1)."""
+"""Pin every model's constructor/train defaults to the reference's.
+
+VERDICT r3 missing #5: a verbatim-migrated caller that relies on
+defaults must get the reference's behavior — e.g. `SDNE(G)` must train
+a 128-d embedding ([256, 128] hidden stack, `ge/models/sdne.py —
+create_model (~L35) [U]`), not a silently smaller one.
+
+Canonical values: SURVEY.md §3.1 rows 3–7 (class signatures) and
+row 12 (example hyperparameters). Documented deviations (SURVEY §9)
+are pinned AS deviations so a future change is deliberate:
+DeepWalk/Node2Vec train SGNS by default (hs=0) while Struc2Vec keeps
+the reference's hs=1.
+"""
+
+import inspect
 
 import numpy as np
 import pytest
 
-import graphembedding_tpu as ge
-from graphembedding_tpu.data.datasets import synthetic_wiki
-from graphembedding_tpu.utils.vocab import (
-    partition_dict,
-    partition_list,
-    partition_num,
-    preprocess_nxgraph,
-)
+from graphembedding_tpu import LINE, SDNE, DeepWalk, Node2Vec, Struc2Vec
 
 
-def test_package_exports():
-    for name in ["DeepWalk", "Node2Vec", "LINE", "SDNE", "Struc2Vec",
-                 "Graph", "RandomWalker", "BiasedWalker"]:
-        assert hasattr(ge, name), name
+def defaults_of(fn):
+    return {
+        name: p.default
+        for name, p in inspect.signature(fn).parameters.items()
+        if p.default is not inspect.Parameter.empty
+    }
 
 
-def test_random_walker_sentences():
-    ds = synthetic_wiki(num_nodes=50, num_classes=2, avg_degree=5,
-                        seed=12)
-    w = ge.RandomWalker(ds.graph, p=1, q=1)
-    sentences = w.simulate_walks(num_walks=2, walk_length=6)
-    assert len(sentences) == 100
-    assert all(isinstance(s, list) for s in sentences)
-    # node names, not indices
-    assert all(tok in ds.graph.vocab.node2idx for s in sentences
-               for tok in s)
-    # biased variant needs preprocessing hook to exist
-    w2 = ge.RandomWalker(ds.graph, p=0.5, q=2)
-    w2.preprocess_transition_probs()
-    s2 = w2.simulate_walks(num_walks=1, walk_length=4)
-    assert len(s2) == 50
+def test_deepwalk_defaults():
+    # SURVEY §3.1 row 3 / row 12: DeepWalk(G, walk_length=10,
+    # num_walks=80, workers=1); train(embed_size=128, window_size=5,
+    # iter=5) — iter default from the reference train() signature
+    # (the example passes iter=3 explicitly).
+    d = defaults_of(DeepWalk.__init__)
+    assert d["walk_length"] == 10
+    assert d["num_walks"] == 80
+    assert d["workers"] == 1
+    t = defaults_of(DeepWalk.train)
+    assert t["embed_size"] == 128
+    assert t["window_size"] == 5
+    assert t["iter"] == 5
 
 
-def test_biased_walker_sentences(tmp_path):
-    """BiasedWalker reads the Struc2Vec layer cache from temp_path and
-    returns node-name sentences (`ge/walker.py — BiasedWalker (~L185)
-    [U]`)."""
-    ds = synthetic_wiki(num_nodes=24, num_classes=2, avg_degree=4,
-                        seed=15)
-    tp = str(tmp_path) + "/"
-    # builds + caches the context graph into temp_path
-    ge.Struc2Vec(ds.graph, walk_length=4, num_walks=1, temp_path=tp)
-    vocab = ds.graph.vocab
-    idx2node = [vocab.idx2node[i] for i in range(ds.graph.num_nodes)]
-    bw = ge.BiasedWalker(idx2node, tp)
-    sentences = bw.simulate_walks(num_walks=2, walk_length=5)
-    assert len(sentences) == 48
-    assert all(len(s) == 5 for s in sentences)
-    assert all(tok in vocab.node2idx for s in sentences for tok in s)
+def test_node2vec_defaults():
+    # SURVEY §3.1 row 4: Node2Vec(graph, walk_length, num_walks,
+    # p=1.0, q=1.0, workers=1, use_rejection_sampling=0). The example
+    # (row 12) passes p=0.25, q=4 explicitly.
+    d = defaults_of(Node2Vec.__init__)
+    assert d["p"] == 1.0
+    assert d["q"] == 1.0
+    assert d["workers"] == 1
+    assert not d["use_rejection_sampling"]
+    t = defaults_of(Node2Vec.train)
+    assert t["embed_size"] == 128
+    assert t["window_size"] == 5
+    assert t["iter"] == 5
 
 
-def test_walker_seeding(tmp_path):
-    """VERDICT r2 item 8: same seed reproduces, different seeds differ,
-    and repeated default calls draw fresh corpora (reference behavior:
-    its RNG advances between simulate_walks calls)."""
-    ds = synthetic_wiki(num_nodes=40, num_classes=2, avg_degree=5,
-                        seed=21)
-    w = ge.RandomWalker(ds.graph, p=1, q=1, seed=7)
-    a = w.simulate_walks(num_walks=2, walk_length=6, seed=3)
-    b = w.simulate_walks(num_walks=2, walk_length=6, seed=3)
-    c = w.simulate_walks(num_walks=2, walk_length=6, seed=4)
-    assert a == b
-    assert a != c
-    # default (no seed=) advances call-to-call
-    d1 = w.simulate_walks(num_walks=2, walk_length=6)
-    d2 = w.simulate_walks(num_walks=2, walk_length=6)
-    assert d1 != d2
-
-    # BiasedWalker: same contract over the struc2vec layer cache
-    tp = str(tmp_path) + "/"
-    ge.Struc2Vec(ds.graph, walk_length=4, num_walks=1, temp_path=tp)
-    vocab = ds.graph.vocab
-    idx2node = [vocab.idx2node[i] for i in range(ds.graph.num_nodes)]
-    bw = ge.BiasedWalker(idx2node, tp)
-    a = bw.simulate_walks(num_walks=2, walk_length=5, seed=3)
-    b = bw.simulate_walks(num_walks=2, walk_length=5, seed=3)
-    c = bw.simulate_walks(num_walks=2, walk_length=5, seed=4)
-    assert a == b
-    assert a != c
-    d1 = bw.simulate_walks(num_walks=2, walk_length=5)
-    d2 = bw.simulate_walks(num_walks=2, walk_length=5)
-    assert d1 != d2
+def test_line_defaults():
+    # SURVEY §3.1 row 5: LINE(graph, embedding_size=8,
+    # negative_ratio=5, order='second'); train(batch_size=1024,
+    # epochs=…, times=1). §9 notes embedding_size=8 is the class
+    # default even though the example uses 128.
+    d = defaults_of(LINE.__init__)
+    assert d["embedding_size"] == 8
+    assert d["negative_ratio"] == 5
+    assert d["order"] == "second"
+    t = defaults_of(LINE.train)
+    assert t["batch_size"] == 1024
+    assert t["times"] == 1
 
 
-def test_train_accepts_gensim_parity_kwargs():
-    """ADVICE r2 (medium): train(window_size=5, seed=42) must not raise
-    'multiple values' — explicit caller kwargs override defaults."""
-    ds = synthetic_wiki(num_nodes=30, num_classes=2, avg_degree=4,
-                        seed=22)
-    m = ge.DeepWalk(ds.graph, walk_length=4, num_walks=2)
-    m.train(embed_size=8, window_size=2, iter=1, block_walks=16,
-            k_shared=4, seed=42, window=2, epochs=1)
-    assert len(m.get_embeddings()) == 30
+def test_sdne_defaults():
+    # SURVEY §3.1 row 6: alpha=1e-6, beta=5., nu1=1e-5, nu2=1e-4;
+    # hidden stack [256, 128] (create_model default + example value).
+    d = defaults_of(SDNE.__init__)
+    assert d["alpha"] == 1e-6
+    assert d["beta"] == 5.0
+    assert d["nu1"] == 1e-5
+    assert d["nu2"] == 1e-4
+    t = defaults_of(SDNE.train)
+    assert t["batch_size"] == 1024
 
 
-def test_partition_helpers():
-    assert partition_num(10, 2) == [5, 5]
-    assert partition_num(10, 3) == [3, 3, 3, 1]
-    parts = partition_dict({i: [i] for i in range(7)}, 2)
-    assert sum(len(p) for p in parts) == 7
-    parts2 = partition_list(list(range(7)), 3)
-    assert sum(len(p) for p in parts2) == 7
+def test_sdne_default_hidden_size_is_reference_sized(line_graph):
+    # The behavioral half of the pin: SDNE(G) with NO hidden_size
+    # must produce the reference's 128-d embedding.
+    m = SDNE(line_graph)
+    assert m.hidden_size == [256, 128]
 
 
-def test_preprocess_nxgraph():
-    nx = pytest.importorskip("networkx")
-    G = nx.path_graph(4)
-    idx2node, node2idx = preprocess_nxgraph(G)
-    assert idx2node == list(G.nodes())
-    assert all(node2idx[n] == i for i, n in enumerate(idx2node))
+def test_struc2vec_defaults():
+    # SURVEY §3.1 row 7: walk_length=10, num_walks=100, workers=1,
+    # verbose=0, stay_prob=0.3, opt1_reduce_len=True,
+    # opt2_reduce_sim_calc=True, opt3_num_layers=None,
+    # temp_path='./temp_struc2vec/', reuse=False; train keeps the
+    # reference's hs=1 objective (`Word2Vec(sg=1, hs=1)`).
+    d = defaults_of(Struc2Vec.__init__)
+    assert d["walk_length"] == 10
+    assert d["num_walks"] == 100
+    assert d["workers"] == 1
+    assert d["stay_prob"] == 0.3
+    assert d["opt1_reduce_len"] is True
+    assert d["opt2_reduce_sim_calc"] is True
+    assert d["opt3_num_layers"] is None
+    assert d["temp_path"] == "./temp_struc2vec/"
+    assert d["reuse"] is False
+    t = defaults_of(Struc2Vec.train)
+    assert t["embed_size"] == 128
+    assert t["window_size"] == 5
+    assert t["iter"] == 5
+    assert t["hs"] == 1
 
 
-def test_sdne_evaluate():
-    ds = synthetic_wiki(num_nodes=40, num_classes=2, avg_degree=4,
-                        seed=13)
-    m = ge.SDNE(ds.graph, hidden_size=[16, 8])
-    res = m.evaluate()
-    assert set(res) == {"loss", "l_2nd", "l_1st"}
-    assert np.isfinite(res["loss"])
+def test_walk_family_sgns_deviation_is_pinned():
+    # SURVEY §9 deviation, kept deliberate: DeepWalk trains SGNS
+    # (hs=0 through the shared base) though the reference uses hs=1 —
+    # SGNS is the performance path and F1 parity is verified
+    # elsewhere. If hs ever becomes a DeepWalk.train parameter with a
+    # different default, this pin forces the change to be reviewed.
+    base_defaults = defaults_of(
+        DeepWalk._fit_skipgram  # noqa: SLF001 — pinning internals
+    )
+    assert base_defaults["hs"] == 0
+    assert base_defaults["negative"] == 5  # gensim Word2Vec default
+    assert base_defaults["alpha"] == 0.025
+    assert base_defaults["min_alpha"] == 1e-4
+    assert base_defaults["sample"] == 1e-3
 
 
-def test_models_accept_reference_kwargs():
-    """workers/verbose/etc. accepted (ignored) for drop-in migration."""
-    ds = synthetic_wiki(num_nodes=30, num_classes=2, avg_degree=4,
-                        seed=14)
-    m = ge.DeepWalk(ds.graph, walk_length=4, num_walks=2, workers=4)
-    m.train(embed_size=8, window_size=2, workers=4, iter=1,
-            block_walks=16, k_shared=4)
-    assert len(m.get_embeddings()) == 30
-
-
-def test_full_reference_migration_path():
-    """The exact code a reference user writes (SURVEY.md §1 snippet):
-    nx.read_edgelist -> Model(G) -> train -> get_embeddings -> Classifier."""
-    import os
-    import tempfile
-
+@pytest.fixture
+def line_graph():
     import networkx as nx
 
-    from graphembedding_tpu.eval.classify import (
-        Classifier,
-        read_node_label,
-    )
-
-    rng = np.random.default_rng(4)
-    with tempfile.TemporaryDirectory() as d:
-        epath = os.path.join(d, "edges.txt")
-        lpath = os.path.join(d, "labels.txt")
-        with open(epath, "w") as f:
-            for _ in range(400):
-                a, b = rng.integers(0, 60, 2)
-                if a != b:
-                    f.write(f"{a} {b} 1\n")
-        with open(lpath, "w") as f:
-            for v in range(60):
-                f.write(f"{v} {v % 3}\n")
-
-        G = nx.read_edgelist(epath, create_using=nx.DiGraph(),
-                             nodetype=None, data=[("weight", int)])
-        model = ge.DeepWalk(G, walk_length=6, num_walks=4, workers=1)
-        model.train(embed_size=16, window_size=3, iter=1)
-        embeddings = model.get_embeddings()
-        assert set(embeddings) == set(G.nodes())
-        X, Y = read_node_label(lpath)
-        X = [x for x in X if x in embeddings]
-        Y = [y for x, y in zip(*read_node_label(lpath)) if x in embeddings]
-        res = Classifier(embeddings).split_train_evaluate(X, Y, 0.5)
-        assert "micro" in res and 0.0 <= res["micro"] <= 1.0
+    g = nx.path_graph(8, create_using=nx.Graph())
+    return nx.relabel_nodes(g, {i: str(i) for i in g.nodes()})
 
 
-def test_reference_alias_api():
-    """`ge.alias`-signature shims: list-in/list-out build + single draw."""
-    import numpy as np
-
-    from graphembedding_tpu.ops.alias import alias_sample, create_alias_table
-
-    probs = [0.5, 0.3, 0.2]
-    accept, alias = create_alias_table(probs)
-    assert isinstance(accept, list) and isinstance(alias, list)
-    assert len(accept) == len(alias) == 3
-    np.random.seed(0)
-    draws = np.array([alias_sample(accept, alias) for _ in range(20000)])
-    emp = np.bincount(draws, minlength=3) / draws.size
-    assert np.abs(emp - np.asarray(probs)).max() < 0.02
+def test_get_embeddings_return_type(line_graph):
+    # Reference contract: get_embeddings() -> {node_str: np.ndarray}.
+    m = DeepWalk(line_graph, walk_length=4, num_walks=2)
+    m.train(embed_size=8, window_size=2, iter=1, block_walks=16)
+    emb = m.get_embeddings()
+    assert set(emb) == {str(i) for i in range(8)}
+    v = emb["0"]
+    assert isinstance(v, np.ndarray) and v.shape == (8,)
