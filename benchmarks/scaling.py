@@ -203,67 +203,83 @@ def main():
     # exactly the steady-state jitted walk call, as in real use.
     from graphembedding_tpu.parallel.walks import DistributedWalker
 
-    base_perdev = None
+    engines = {
+        "": {},  # plain all_gather engine (round-1..3 shipped path)
+        "_a2a": {"exchange": "a2a"},  # crossers-only exact exchange
+    }
     per_dev = args.walkers
-    for n in sizes:
-        mesh = make_mesh((n, 1), devices=jax.devices()[:n])
-        # num_walks granularity is per-node; rounding makes the
-        # realized walkers/device drift a few % across n, so
-        # efficiency below is computed on the measured per-device
-        # edge rate, not the requested sizes
-        if args.scaling == "weak":
-            nw = max(round(per_dev * n / g.num_nodes), 1)
-        else:
-            nw = max(round(per_dev * sizes[-1] / g.num_nodes), 1)
-        relabel = None if args.relabel == "none" else args.relabel
-        for control in (False, True):
-            w = DistributedWalker(
-                g, mesh, args.length, kind="uniform", num_walks=nw,
-                route_off=control, relabel=relabel,
-            )
-            walks_d, ov = w.run(jax.random.PRNGKey(3))  # warm
-            # rate from MATCHED (edges, time) pairs per rep: each key
-            # walks a slightly different edge count (dead ends), so
-            # pairing the warm corpus's count with another key's time
-            # would bias the rate
-            best = float("inf")
-            best_rate = 0.0
-            for r in range(args.reps):
-                t0 = time.time()
-                wd, ov2 = w.run_device(jax.random.PRNGKey(4 + r))
-                _ = int(jnp.sum(wd[-1] >= 0))
-                dt = time.time() - t0
-                best = min(best, dt)
-                if not control:  # control's rate is never consumed
-                    wd_np = np.asarray(wd)
-                    # run_device keeps filler walker rows (start -1):
-                    # count edges only on real rows, or the filler
-                    # subtracts one edge each, skewing with n
-                    e_r = int(np.sum(wd_np >= 0)
-                              - np.sum(wd_np[:, 0] >= 0))
-                    best_rate = max(best_rate, e_r / dt)
-            if control:
-                t_ctl = best
+    for eng_tag, eng_kw in engines.items():
+        base_perdev = None
+        for n in sizes:
+            mesh = make_mesh((n, 1), devices=jax.devices()[:n])
+            # num_walks granularity is per-node; rounding makes the
+            # realized walkers/device drift a few % across n, so
+            # efficiency below is computed on the measured per-device
+            # edge rate, not the requested sizes
+            if args.scaling == "weak":
+                nw = max(round(per_dev * n / g.num_nodes), 1)
             else:
-                t_full = best
-                rounds_full = w.last_rounds
-                rate = best_rate
-        # perdev(n)/perdev(1) = weak eff AND strong eff (= speedup/n)
-        perdev = rate / n
-        if base_perdev is None:
-            base_perdev = perdev
-        row = {
-            "devices": n,
-            "mode": f"distributed_walks_{args.scaling}",
-            "walked_edges_per_s": round(rate),
-            "scaling_efficiency": round(perdev / base_perdev, 3),
-            "comm_efficiency": round(min(t_ctl / t_full, 1.0), 3),
-            "routing_rounds": rounds_full,
-            "overflow": ov,
-            "seconds": round(t_full, 3),
-        }
-        rows.append(row)
-        print(json.dumps(row), flush=True)
+                nw = max(round(per_dev * sizes[-1] / g.num_nodes), 1)
+            relabel = None if args.relabel == "none" else args.relabel
+            for control in (False, True):
+                w = DistributedWalker(
+                    g, mesh, args.length, kind="uniform", num_walks=nw,
+                    route_off=control, relabel=relabel, **eng_kw,
+                )
+                walks_d, ov = w.run(jax.random.PRNGKey(3))  # warm
+                # rate from MATCHED (edges, time) pairs per rep: each
+                # key walks a slightly different edge count (dead
+                # ends), so pairing the warm corpus's count with
+                # another key's time would bias the rate
+                best = float("inf")
+                best_rate = 0.0
+                for r in range(args.reps):
+                    t0 = time.time()
+                    wd, ov2 = w.run_device(jax.random.PRNGKey(4 + r))
+                    _ = int(jnp.sum(wd[-1] >= 0))
+                    dt = time.time() - t0
+                    best = min(best, dt)
+                    if not control:  # control rate is never consumed
+                        wd_np = np.asarray(wd)
+                        # run_device keeps filler walker rows (start
+                        # -1): count edges only on real rows, or the
+                        # filler subtracts one edge each, skewing
+                        # with n
+                        e_r = int(np.sum(wd_np >= 0)
+                                  - np.sum(wd_np[:, 0] >= 0))
+                        best_rate = max(best_rate, e_r / dt)
+                if control:
+                    t_ctl = best
+                else:
+                    t_full = best
+                    rounds_full = w.last_rounds
+                    crossed_full = w.last_crossed
+                    rate = best_rate
+            # perdev(n)/perdev(1) = weak eff AND strong eff (speedup/n)
+            perdev = rate / n
+            if base_perdev is None:
+                base_perdev = perdev
+            row = {
+                "devices": n,
+                "mode": f"distributed_walks{eng_tag}_{args.scaling}",
+                "walked_edges_per_s": round(rate),
+                "scaling_efficiency": round(perdev / base_perdev, 3),
+                "comm_efficiency": round(min(t_ctl / t_full, 1.0), 3),
+                "routing_rounds": rounds_full,
+                "overflow": ov,
+                "seconds": round(t_full, 3),
+            }
+            if crossed_full is not None:
+                # measured exchange occupancy: rows actually crossing
+                # per shard per round vs the n*(bcap+1) dense frame —
+                # the wire-byte accounting inputs (RESULTS.md r4)
+                row["crossed_rows_total"] = crossed_full
+                if rounds_full:
+                    row["crossed_per_shard_round"] = round(
+                        crossed_full / (rounds_full * n)
+                    )
+            rows.append(row)
+            print(json.dumps(row), flush=True)
 
     if args.out:
         with open(args.out, "w") as f:
