@@ -132,6 +132,131 @@ def measure_tpu(n_warm=1, n_rep=4):
     return walk_eps, pairs_per_s, res["micro"], dense_s, res_d["micro"]
 
 
+def measure_offpath_walks(n_rep=3):
+    """Walk throughput off the flagship path (VERDICT r3 item 3):
+    node2vec exact/rejection and the struc2vec multilayer kernel, so
+    the driver line catches regressions there too. Multilayer runs on
+    a K=3 stack of the wiki CSR (uniform alias, gamma=1) — kernel
+    throughput does not depend on the struc2vec preprocessing
+    contents, only the structure shapes."""
+    import jax
+    import jax.numpy as jnp
+
+    from graphembedding_tpu.data import load_dataset
+    from graphembedding_tpu.models.struc2vec import multilayer_walks
+    from graphembedding_tpu.ops.walk import simulate_walks
+
+    ds = load_dataset("wiki")
+    g = ds.graph
+    out = {}
+
+    for name, rej in (("node2vec_exact", False),
+                      ("node2vec_rejection", True)):
+        w = simulate_walks(g, 20, 10, jax.random.PRNGKey(0),
+                           kind="node2vec", p=0.25, q=4.0,
+                           use_rejection_sampling=rej)
+        _ = float(w[0, 0])  # compile + warm
+        best = float("inf")
+        for r in range(n_rep):
+            t0 = time.time()
+            w = simulate_walks(g, 20, 10, jax.random.PRNGKey(1 + r),
+                               kind="node2vec", p=0.25, q=4.0,
+                               use_rejection_sampling=rej)
+            _ = float(jnp.sum(w[-1] >= 0))
+            best = min(best, time.time() - t0)
+        edges = int(np.sum(np.asarray(w) >= 0) - w.shape[0])
+        out[f"{name}_edges_per_s"] = round(edges / best)
+
+    # multilayer: K copies of the wiki CSR + its alias tables
+    K = 3
+    dg = g.device
+    at = g.alias
+    acc = jnp.broadcast_to(at.accept, (K, at.accept.shape[0]))
+    ali = jnp.broadcast_to(at.alias, (K, at.alias.shape[0]))
+    rp = jnp.broadcast_to(dg.row_ptr, (K, dg.row_ptr.shape[0]))
+    ci = jnp.broadcast_to(dg.col_idx, (K, dg.col_idx.shape[0]))
+    gamma = jnp.ones((K, g.num_nodes), jnp.float32)
+    starts = jnp.tile(jnp.arange(g.num_nodes, dtype=jnp.int32), 20)
+    w = multilayer_walks(rp, ci, acc, ali, gamma, starts,
+                         jax.random.PRNGKey(0), 0.3, length=10)
+    _ = float(w[0, 0])
+    best = float("inf")
+    for r in range(n_rep):
+        t0 = time.time()
+        w = multilayer_walks(rp, ci, acc, ali, gamma, starts,
+                             jax.random.PRNGKey(1 + r), 0.3, length=10)
+        _ = float(jnp.sum(w[-1] >= 0))
+        best = min(best, time.time() - t0)
+    edges = int(w.shape[0] * (w.shape[1] - 1))
+    out["multilayer_edges_per_s"] = round(edges / best)
+    return out
+
+
+def measure_million(n_rep=3):
+    """Large-V single-chip SGNS figure (VERDICT r3 item 7): steady-
+    state pairs/s of the walk-block chunk at V=1M on a locality
+    (clustered small-world) corpus — the RESULTS.md round-3 number,
+    surfaced in the driver line. Rowshard over a real slice is the
+    path past this single-chip scatter-latency wall (the [V,2D] table
+    splits V/n per chip and per-shard scatter ranges shrink with n)."""
+    import jax
+    import jax.numpy as jnp
+
+    from benchmarks.million import clustered_graph
+    from graphembedding_tpu.ops.walk import simulate_walks
+    from graphembedding_tpu.train.skipgram import (
+        SkipGramConfig,
+        SkipGramTrainer,
+        corpus_counts,
+        negative_table,
+    )
+
+    V = 1_000_000
+    g = clustered_graph(V, 10)
+    walks = simulate_walks(g, 2, 10, jax.random.PRNGKey(0))
+    table = jnp.asarray(
+        negative_table(corpus_counts(np.asarray(walks), V))
+    )
+    cfg = SkipGramConfig()
+    trainer = SkipGramTrainer(cfg)
+    w_in, w_out = trainer.init_tables(V, jax.random.PRNGKey(1))
+    w_cat = jnp.concatenate([w_in, w_out], axis=1)
+    del w_in, w_out
+    S, Bw = cfg.chunk_steps, cfg.block_walks
+
+    from graphembedding_tpu.train.skipgram import sgns_block_chunk_cat
+
+    def chunk(w_cat, t):
+        return sgns_block_chunk_cat(
+            w_cat, walks, table, jax.random.PRNGKey(2),
+            jnp.float32(cfg.alpha), jnp.float32(cfg.min_alpha),
+            jnp.int32(t), jnp.float32(1e5),
+            chunk_steps=S, block_walks=Bw, window=cfg.window,
+            negative=cfg.negative, k_shared=cfg.k_shared,
+            neg_share_walks=cfg.neg_share_walks,
+            neg_share_packs=cfg.neg_share_packs,
+            sparse_cap=True,
+        )
+
+    w_cat, l, pairs = chunk(w_cat, 0)
+    _ = float(l.mean())
+    t = S
+    best = float("inf")
+    best_pairs = 0.0
+    for r in range(n_rep):
+        t0 = time.time()
+        acc = []
+        for c in range(4):
+            w_cat, l, pairs = chunk(w_cat, t)
+            acc.append(pairs)
+            t += S
+        total_pairs = float(jnp.sum(jnp.stack([p.sum() for p in acc])))
+        dt = time.time() - t0
+        if dt < best:
+            best, best_pairs = dt, total_pairs
+    return round(best_pairs / best)
+
+
 def measure_cpu_baseline(max_seconds=20.0):
     """Reference-style numpy SGNS throughput (its delegated-native role).
 
@@ -175,6 +300,23 @@ def measure_cpu_baseline(max_seconds=20.0):
 def main():
     walk_eps, pairs_per_s, micro_f1, dense_s, dense_f1 = measure_tpu()
     baseline = measure_cpu_baseline()
+    # off-path walk kernels + the 1M-node figure: soft-fail so the
+    # driver line survives an extras-only breakage
+    extra = {}
+    try:
+        extra.update(measure_offpath_walks())
+    except Exception as e:  # pragma: no cover - defensive
+        extra["offpath_walks"] = f"unavailable ({e})"
+    try:
+        extra["million_node_pairs_per_s"] = measure_million()
+        extra["million_node_note"] = (
+            "V=1M locality corpus, sparse-cap fused-table chunk "
+            "(single-chip scatter-latency bound, RESULTS.md r3); "
+            "rowshard over a real slice is the path past it — "
+            "per-shard scatter ranges shrink V/n per chip"
+        )
+    except Exception as e:  # pragma: no cover - defensive
+        extra["million_node_pairs_per_s"] = f"unavailable ({e})"
 
     # analytic roofline of the measured step shape (BASELINE's
     # "speed-of-light per chip" evidence). Three bounds
@@ -268,6 +410,7 @@ def main():
                         "scatter": round(roof.t_scatter * 1e6, 1),
                     },
                     **row_meta,
+                    **extra,
                 },
             }
         )

@@ -28,20 +28,34 @@ class Node2Vec(WalkEmbeddingModel):
         p=1.0,
         q=1.0,
         workers=1,
-        use_rejection_sampling=False,
+        use_rejection_sampling=None,
         seed=0,
         mesh=None,
     ):
         """`mesh=` runs the (p,q) walk phase sharded (partitioned
         neighbor matrix + halo row fetch, or CSR-only rejection
-        sampling when `use_rejection_sampling=True` — the Dmax-safe
-        variant for power-law graphs); `train()` then defaults to the
-        same mesh."""
+        sampling on the rejection path — the Dmax-safe variant for
+        power-law graphs); `train()` then defaults to the same mesh.
+
+        `use_rejection_sampling=None` (default) picks the kernel
+        automatically from the graph's degree profile and memory
+        footprint (`ops.walk.select_pq_kernel` — measured crossover at
+        Dpad ≈ 2048 on one v5e, or when the [V, Dpad] neighbor matrix
+        would exceed its HBM budget). Pass True/False to force
+        (reference flag semantics: 0/False = the exact formulation)."""
         del workers
         super().__init__(graph, walk_length, num_walks, seed)
         self.p = p
         self.q = q
-        self.use_rejection_sampling = use_rejection_sampling
+        if use_rejection_sampling is None:
+            from graphembedding_tpu.ops.walk import select_pq_kernel
+
+            use_rejection_sampling = (
+                select_pq_kernel(
+                    self.graph.num_nodes, self.graph.max_degree
+                ) == "rejection"
+            )
+        self.use_rejection_sampling = bool(use_rejection_sampling)
         self.mesh = mesh
         if mesh is not None:
             from graphembedding_tpu.parallel.walks import (
@@ -50,8 +64,8 @@ class Node2Vec(WalkEmbeddingModel):
 
             walker = DistributedWalker(
                 self.graph, mesh, walk_length,
-                kind=("node2vec_rejection" if use_rejection_sampling
-                      else "node2vec"),
+                kind=("node2vec_rejection"
+                      if self.use_rejection_sampling else "node2vec"),
                 num_walks=num_walks, p=p, q=q,
             )
             self.walks, self.walk_overflow = walker.run(
@@ -66,7 +80,7 @@ class Node2Vec(WalkEmbeddingModel):
                 kind="node2vec",
                 p=p,
                 q=q,
-                use_rejection_sampling=bool(use_rejection_sampling),
+                use_rejection_sampling=self.use_rejection_sampling,
             )
 
     def train(self, embed_size=128, window_size=5, workers=None, iter=5,

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 from graphembedding_tpu.ops.alias import alias_draw
 
 _INT32_MAX = jnp.iinfo(jnp.int32).max
+_LANE = 128
 
 
 def _safe(cur):
@@ -320,6 +321,33 @@ def node2vec_walks_rejection(
 # --------------------------------------------------------------------------- #
 
 
+def select_pq_kernel(num_nodes, max_degree,
+                     hbm_budget_bytes=4 << 30) -> str:
+    """Auto-select the (p,q) kernel: 'exact' or 'rejection'.
+
+    Measured crossover (benchmarks/pq_crossover.py, one v5e,
+    2026-08-20, V=20k d-regular graphs, walk_length=10): the exact
+    Gumbel-max kernel wins through Dpad=1024 (4.3x at Dpad=128,
+    1.5x at 1024) and loses at Dpad=2048 (0.56x); the rejection
+    kernel's cost is FLAT in p/q and nearly flat in Dmax (the bounded
+    fori_loop always runs max_tries proposals; only the
+    csr_contains log2(Dmax) term grows), so the crossover does not
+    move with p/q — p=1,q=1 measured within 2% of p=.25,q=4.
+
+    Memory term: the exact kernel needs the [V, Dpad] i32+f32
+    neighbor matrix resident (8 bytes/slot); above `hbm_budget_bytes`
+    (default 4 GB — a quarter of one v5e's HBM, leaving room for the
+    corpus and tables) the rejection kernel's O(E) tables win
+    regardless of speed.
+    """
+    dpad = ((max(max_degree, 1) + _LANE - 1) // _LANE) * _LANE
+    if dpad > 1536:
+        return "rejection"
+    if num_nodes * dpad * 8 > hbm_budget_bytes:
+        return "rejection"
+    return "exact"
+
+
 def simulate_walks(
     graph,
     num_walks: int,
@@ -329,7 +357,7 @@ def simulate_walks(
     kind: str = "uniform",
     p: float = 1.0,
     q: float = 1.0,
-    use_rejection_sampling: bool = False,
+    use_rejection_sampling: bool | None = None,
 ):
     """Generate the full walk corpus `[num_walks * V, walk_length]` (i32).
 
@@ -337,6 +365,10 @@ def simulate_walks(
     nodes). Here all `num_walks × V` walkers run as one batched device
     program; start nodes are every vertex repeated `num_walks` times
     (ordering is irrelevant — the trainer shuffles pairs).
+
+    `use_rejection_sampling=None` (default) auto-selects the (p,q)
+    kernel by degree profile and memory (`select_pq_kernel`); True /
+    False force the choice (reference flag override).
     """
     dg = graph.device
     starts = jnp.tile(jnp.arange(dg.num_nodes, dtype=jnp.int32), num_walks)
@@ -353,6 +385,11 @@ def simulate_walks(
             starts, key, length=walk_length,
         )
     if kind == "node2vec":
+        if use_rejection_sampling is None:
+            use_rejection_sampling = (
+                select_pq_kernel(dg.num_nodes, dg.max_degree)
+                == "rejection"
+            )
         if use_rejection_sampling:
             at = graph.alias
             return node2vec_walks_rejection(

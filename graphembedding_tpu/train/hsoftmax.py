@@ -83,7 +83,7 @@ def build_huffman(counts: np.ndarray):
 @partial(
     jax.jit,
     static_argnames=("chunk_steps", "block_walks", "window",
-                     "update_cap"),
+                     "update_cap", "sparse_cap"),
     donate_argnums=(0, 1),
 )
 def hs_block_chunk(
@@ -102,6 +102,7 @@ def hs_block_chunk(
     block_walks,
     window,
     update_cap=8.0,
+    sparse_cap=False,
 ):
     """`chunk_steps` hierarchical-softmax steps over walk blocks."""
     S, Bw, W = chunk_steps, block_walks, window
@@ -196,28 +197,48 @@ def hs_block_chunk(
         # is constant per row either way)
         cap = jnp.float32(update_cap)
         flat = tok_safe.reshape(-1)
-        occ_t = jnp.zeros((V,), jnp.float32).at[flat].add(1.0)
-        tbuf = jnp.zeros((V, D), jnp.float32).at[flat].add(
-            d_yin.reshape(-1, D)
-        )
-        tok_scale = jnp.minimum(
-            1.0, cap / jnp.maximum(occ_t, 1.0)
-        )[:, None]
         n_pairs_ctx = jnp.sum(mask, axis=1)  # pairs per context
         tflat = pts_safe.reshape(-1)
         tweight = jnp.broadcast_to(
             n_pairs_ctx[:, :, None], pts_safe.shape
         ).reshape(-1) * pts_ok.reshape(-1)
+        occ_t = jnp.zeros((V,), jnp.float32).at[flat].add(1.0)
         occ_r = jnp.zeros((n_inner,), jnp.float32).at[tflat].add(tweight)
-        rbuf = jnp.zeros((n_inner, D), jnp.float32).at[tflat].add(
-            d_tree.reshape(-1, D)
-        )
-        tree_scale = jnp.minimum(
-            1.0, cap / jnp.maximum(occ_r, 1.0)
-        )[:, None]
+        if sparse_cap:
+            # large-V path (mirrors sgns_block_chunk's sparse_cap): no
+            # O(V·D)/O(n_inner·D) gradient buffers — gather the per-row
+            # scale back per contribution and scatter PRE-SCALED grads
+            # straight into the donated tables. Same math: the cap
+            # scale is constant per row, so scaling each contribution
+            # equals scaling the row's sum.
+            tok_scale = jnp.minimum(
+                1.0, cap / jnp.maximum(occ_t[flat], 1.0)
+            )
+            tree_scale = jnp.minimum(
+                1.0, cap / jnp.maximum(occ_r[tflat], 1.0)
+            )
+            w_in = w_in.at[flat].add(
+                lr * d_yin.reshape(-1, D) * tok_scale[:, None]
+            )
+            w_tree = w_tree.at[tflat].add(
+                lr * d_tree.reshape(-1, D) * tree_scale[:, None]
+            )
+        else:
+            tbuf = jnp.zeros((V, D), jnp.float32).at[flat].add(
+                d_yin.reshape(-1, D)
+            )
+            tok_scale = jnp.minimum(
+                1.0, cap / jnp.maximum(occ_t, 1.0)
+            )[:, None]
+            rbuf = jnp.zeros((n_inner, D), jnp.float32).at[tflat].add(
+                d_tree.reshape(-1, D)
+            )
+            tree_scale = jnp.minimum(
+                1.0, cap / jnp.maximum(occ_r, 1.0)
+            )[:, None]
 
-        w_in = w_in + lr * tbuf * tok_scale
-        w_tree = w_tree + lr * rbuf * tree_scale
+            w_in = w_in + lr * tbuf * tok_scale
+            w_tree = w_tree + lr * rbuf * tree_scale
 
         # loss: -log sigmoid((2·label - 1) · logit) summed over path
         sgn = 2.0 * label.reshape(G, 1, N) - 1.0
@@ -237,7 +258,7 @@ class HSTrainer:
     def __init__(self, embed_size=128, window=5, epochs=5,
                  block_walks=504, alpha=0.025, min_alpha=1e-4,
                  chunk_steps=64, update_cap=8.0, sample=1e-3, seed=0,
-                 mesh=None, sync_every=None):
+                 mesh=None, sync_every=None, cap_mode="auto"):
         self.embed_size = embed_size
         self.window = window
         self.epochs = epochs
@@ -250,6 +271,11 @@ class HSTrainer:
         self.seed = seed
         self.mesh = mesh  # jax.sharding.Mesh -> DP×TP sharded chunks
         self.sync_every = sync_every  # DP replica-averaging period
+        # 'dense' | 'sparse' | 'auto': cap bookkeeping, as in
+        # SkipGramConfig.cap_mode — auto switches to the sparse
+        # (no [V,D]/[n_inner,D] buffer) form at V >= 2^16, the same
+        # crossover the SGNS trainer measured (benchmarks/table_scale)
+        self.cap_mode = cap_mode
 
     def fit(self, walks, num_nodes, key=None, checkpoint_dir=None,
             checkpoint_every=0, metrics=None):
@@ -338,8 +364,19 @@ class HSTrainer:
             _shuffle_walks,
         )
 
+        # hoisted per-token keep buffer below ~512 MB, else re-gather
+        # per epoch (mirrors train.skipgram's big_corpus switch: the
+        # hoisted [NW, L] buffer is faster at 1M nodes but OOMs first
+        # at 10M-node corpora)
+        big_corpus = walks.size * 4 > (512 << 20)
+        keep_dev = None if keep is None else jnp.asarray(keep)
         keep_tok = (
-            None if keep is None else _gather_keep(walks, jnp.asarray(keep))
+            None if (keep_dev is None or big_corpus)
+            else _gather_keep(walks, keep_dev)
+        )
+        sparse_cap = (
+            num_nodes >= (1 << 16) if self.cap_mode == "auto"
+            else self.cap_mode == "sparse"
         )
         if self.mesh is not None:
             from graphembedding_tpu.parallel.hsoftmax import (
@@ -369,6 +406,7 @@ class HSTrainer:
                     jnp.int32(t), jnp.float32(n_steps),
                     chunk_steps=self.chunk_steps, block_walks=bw,
                     window=self.window, update_cap=self.update_cap,
+                    sparse_cap=sparse_cap,
                 )
 
         losses = []
@@ -382,6 +420,14 @@ class HSTrainer:
             if keep_tok is not None:
                 shuffled = _prepare_epoch(
                     walks, keep_tok, jax.random.fold_in(k_sub, epoch)
+                )
+            elif keep_dev is not None:  # big corpus: re-gather keeps
+                from graphembedding_tpu.train.skipgram import (
+                    _prepare_epoch_regather,
+                )
+
+                shuffled = _prepare_epoch_regather(
+                    walks, keep_dev, jax.random.fold_in(k_sub, epoch)
                 )
             else:
                 shuffled = _shuffle_walks(

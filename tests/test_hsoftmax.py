@@ -80,3 +80,67 @@ def test_deepwalk_hs_model_path():
     assert np.isfinite(next(iter(emb.values()))).all()
     res = Classifier(emb).split_train_evaluate(ds.X, ds.Y, 0.8)
     assert res["micro"] > 0.6, res["micro"]
+
+
+def test_hs_sparse_cap_matches_dense():
+    """sparse_cap is a bookkeeping change, not a math change: one
+    chunk from identical state must produce identical tables (the cap
+    scale per row is constant, so pre-scaling contributions equals
+    scaling the row sum)."""
+    import jax
+    import jax.numpy as jnp
+
+    from graphembedding_tpu.train.hsoftmax import (
+        build_huffman,
+        hs_block_chunk,
+    )
+
+    rng = np.random.default_rng(5)
+    V, D, L = 30, 16, 8
+    walks = jnp.asarray(rng.integers(0, V, (64, L)).astype(np.int32))
+    counts = np.bincount(np.asarray(walks).ravel(), minlength=V)
+    points, codes, _ = build_huffman(counts.astype(np.float64))
+    points, codes = jnp.asarray(points), jnp.asarray(codes)
+    k = jax.random.PRNGKey(0)
+    w_in0 = jax.random.normal(k, (V, D)) * 0.1
+    w_tr0 = jnp.zeros((V - 1, D), jnp.float32)
+    outs = {}
+    for sparse in (False, True):
+        w_in, w_tr, loss = hs_block_chunk(
+            w_in0.copy(), w_tr0.copy(), walks, points, codes,
+            jax.random.PRNGKey(1), jnp.float32(0.025),
+            jnp.float32(1e-4), jnp.int32(0), jnp.float32(100.0),
+            chunk_steps=4, block_walks=32, window=3, update_cap=2.0,
+            sparse_cap=sparse,
+        )
+        outs[sparse] = (np.asarray(w_in), np.asarray(w_tr),
+                        np.asarray(loss))
+    np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=2e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=2e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(outs[0][2], outs[1][2], rtol=1e-5)
+
+
+def test_hs_trainer_big_corpus_switch_trains():
+    """cap_mode='sparse' end-to-end (the large-V path) still learns."""
+    rng = np.random.default_rng(7)
+    V = 20
+    walks = []
+    for _ in range(300):
+        side = rng.integers(0, 2)
+        walks.append(rng.integers(side * 10, side * 10 + 10, size=8))
+    walks = np.asarray(walks, dtype=np.int32)
+    tr = HSTrainer(embed_size=16, window=2, epochs=3, block_walks=64,
+                   cap_mode="sparse")
+    w_in, w_tree, losses = tr.fit(walks, V)
+    emb = np.asarray(w_in)
+    emb = emb / np.maximum(
+        np.linalg.norm(emb, axis=1, keepdims=True), 1e-9
+    )
+    sims = emb @ emb.T
+    same = (sims[:10, :10].sum() - 10) / 90 + (
+        sims[10:, 10:].sum() - 10
+    ) / 90
+    cross = sims[:10, 10:].mean() * 2
+    assert same / 2 > cross + 0.1

@@ -180,3 +180,32 @@ def test_simulate_walks_covers_all_nodes():
     np.testing.assert_array_equal(
         np.sort(walks[:, 0]), np.repeat([0, 1, 2, 3], 3)
     )
+
+
+def test_select_pq_kernel_heuristic():
+    """Auto-selection follows the measured crossover
+    (benchmarks/pq_crossover_r04*.jsonl): exact through Dpad=1024,
+    rejection at Dpad=2048 or when the neighbor matrix exceeds the
+    HBM budget."""
+    from graphembedding_tpu.ops.walk import select_pq_kernel
+
+    assert select_pq_kernel(20000, 8) == "exact"
+    assert select_pq_kernel(20000, 512) == "exact"
+    assert select_pq_kernel(20000, 1024) == "exact"
+    assert select_pq_kernel(20000, 2048) == "rejection"
+    # memory gate: 5M nodes x 1152-pad x 8B = 46 GB >> budget
+    assert select_pq_kernel(5_000_000, 1100) == "rejection"
+    # forced-override plumbing: Node2Vec(use_rejection_sampling=...)
+    # keeps the flag; None resolves via the heuristic
+    import networkx as nx
+
+    from graphembedding_tpu.models import Node2Vec
+
+    g = nx.relabel_nodes(
+        nx.path_graph(12), {i: str(i) for i in range(12)}
+    )
+    m = Node2Vec(g, walk_length=4, num_walks=2)
+    assert m.use_rejection_sampling is False  # auto -> exact here
+    m2 = Node2Vec(g, walk_length=4, num_walks=2,
+                  use_rejection_sampling=True)
+    assert m2.use_rejection_sampling is True
