@@ -52,7 +52,7 @@ class Node2Vec(WalkEmbeddingModel):
 
             use_rejection_sampling = (
                 select_pq_kernel(
-                    self.graph.num_nodes, self.graph.max_degree
+                    self.graph.num_nodes, self.graph.max_degree, p, q
                 ) == "rejection"
             )
         self.use_rejection_sampling = bool(use_rejection_sampling)

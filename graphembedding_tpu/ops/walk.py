@@ -236,7 +236,8 @@ def node2vec_walks(
     return jnp.concatenate(cols, axis=1)
 
 
-@partial(jax.jit, static_argnames=("length", "max_degree", "max_tries"))
+@partial(jax.jit, static_argnames=("length", "max_degree", "max_tries",
+                                   "proposals"))
 def node2vec_walks_rejection(
     row_ptr,
     col_idx,
@@ -251,6 +252,7 @@ def node2vec_walks_rejection(
     length,
     max_degree,
     max_tries=32,
+    proposals=8,
 ):
     """Rejection-sampling (p,q) walks (reference `node2vec_walk2 [U]`).
 
@@ -258,17 +260,33 @@ def node2vec_walks_rejection(
     Accept with prob factor(y)/ub, factor in {1/p, 1, 1/q} by the class of
     y w.r.t. prev, ub = max of the three. Bounded retries; on overflow the
     last proposal is accepted (bias ~ (1 - 1/ub·min_accept)^max_tries).
+
+    Round-4 structure (mirrors the distributed rejection engine):
+    each retry round draws `proposals` i.i.d. candidates per walker and
+    takes the FIRST accepted one — identical distribution to one-at-a-
+    time rejection (first acceptance over an i.i.d. proposal stream),
+    but the candidate factor evaluation vectorizes across the proposal
+    axis and the retry loop is a `while_loop` that exits as soon as
+    every walker has accepted. Measured (V=20k d-regular, one v5e,
+    benchmarks/pq_crossover_r04d/e.jsonl): ~2.8x the round-3
+    fixed-32-iteration form under (p=1, q=1) where one round accepts
+    everyone — there rejection now beats the exact kernel from
+    Dpad=512 — and a wash under strong bias (p=.25, q=4: mean ~16
+    proposals needed, so the work is proposal-bound either way).
     """
     inv_p = jnp.float32(1.0 / p)
     inv_q = jnp.float32(1.0 / q)
     ub = jnp.maximum(jnp.maximum(inv_p, 1.0), inv_q)
+    Pp = max(int(proposals), 1)
+    n_rounds = -(-int(max_tries) // Pp)
 
     def propose(cur, deg, k):
         k1, k2 = jax.random.split(k)
         u1 = jax.random.uniform(k1, cur.shape)
         u2 = jax.random.uniform(k2, cur.shape)
         slot = alias_draw(
-            accept, alias, row_ptr[_safe(cur)], jnp.maximum(deg, 1), u1, u2
+            accept, alias, row_ptr[_safe(cur)], jnp.maximum(deg, 1),
+            u1, u2,
         )
         return col_idx[row_ptr[_safe(cur)] + slot]
 
@@ -276,26 +294,44 @@ def node2vec_walks_rejection(
         prev, cur = carry
         safe = _safe(cur)
         deg = jnp.where(cur >= 0, degree[safe], 0)
+        B = cur.shape[0]
+        offs = jnp.broadcast_to(row_ptr[safe][:, None], (B, Pp))
+        degb = jnp.broadcast_to(jnp.maximum(deg, 1)[:, None], (B, Pp))
+        prevb = jnp.broadcast_to(_safe(prev)[:, None], (B, Pp))
 
-        def try_body(i, state):
-            done, y, kk = state
-            kk, kp, ka = jax.random.split(kk, 3)
-            cand = propose(cur, deg, kp)
-            is_prev = cand == prev
+        def round_body(state):
+            done, y, kk, r = state
+            kk, kp1, kp2, ka = jax.random.split(kk, 4)
+            u1 = jax.random.uniform(kp1, (B, Pp))
+            u2 = jax.random.uniform(kp2, (B, Pp))
+            slot = alias_draw(accept, alias, offs, degb, u1, u2)
+            cand = col_idx[offs + slot]  # [B, Pp]
+            is_prev = cand == prev[:, None]
             in_prev = csr_contains(
-                row_ptr, col_idx, degree, _safe(prev), cand,
+                row_ptr, col_idx, degree, prevb, cand,
                 max_degree=max_degree,
             )
             factor = jnp.where(is_prev, inv_p,
                                jnp.where(in_prev, 1.0, inv_q))
-            acc = jax.random.uniform(ka, cur.shape) < factor / ub
-            y = jnp.where(done, y, cand)
-            done = done | acc
-            return done, y, kk
+            acc = jax.random.uniform(ka, (B, Pp)) < factor / ub
+            # first accepted proposal this round; if none accepted,
+            # keep the LAST proposal as the overflow fallback
+            first = jnp.argmax(acc, axis=1)
+            any_acc = jnp.any(acc, axis=1)
+            pick = jnp.where(any_acc, first, Pp - 1)
+            cand_b = cand[jnp.arange(B), pick]
+            y = jnp.where(done, y, cand_b)
+            done = done | any_acc
+            return done, y, kk, r + 1
+
+        def cond(state):
+            done, _y, _k, r = state
+            return (r < n_rounds) & ~jnp.all(done)
 
         done0 = jnp.zeros_like(cur, dtype=bool)
-        _, y, _ = jax.lax.fori_loop(
-            0, max_tries, try_body, (done0, jnp.zeros_like(cur), k)
+        _, y, _, _ = jax.lax.while_loop(
+            cond, round_body,
+            (done0, jnp.zeros_like(cur), k, jnp.int32(0)),
         )
         nxt = jnp.where(deg > 0, y, -1)
         return (cur, nxt), cur
@@ -321,18 +357,24 @@ def node2vec_walks_rejection(
 # --------------------------------------------------------------------------- #
 
 
-def select_pq_kernel(num_nodes, max_degree,
+def select_pq_kernel(num_nodes, max_degree, p=1.0, q=1.0,
                      hbm_budget_bytes=4 << 30) -> str:
     """Auto-select the (p,q) kernel: 'exact' or 'rejection'.
 
-    Measured crossover (benchmarks/pq_crossover.py, one v5e,
+    Measured crossover (benchmarks/pq_crossover_r04*.jsonl, one v5e,
     2026-08-20, V=20k d-regular graphs, walk_length=10): the exact
-    Gumbel-max kernel wins through Dpad=1024 (4.3x at Dpad=128,
-    1.5x at 1024) and loses at Dpad=2048 (0.56x); the rejection
-    kernel's cost is FLAT in p/q and nearly flat in Dmax (the bounded
-    fori_loop always runs max_tries proposals; only the
-    csr_contains log2(Dmax) term grows), so the crossover does not
-    move with p/q — p=1,q=1 measured within 2% of p=.25,q=4.
+    Gumbel-max kernel's cost grows ~Dpad^1.3 (0.047 s at Dpad=128 →
+    1.78 s at 2048 for a 180k-hop corpus); the rejection kernel's
+    cost is set by how many proposals acceptance needs — under
+    strong bias (p=.25, q=4: ub=4, mean ~16 proposals) it is
+    near-flat (~0.3-0.6 s) and loses until Dpad=2048; under mild
+    bias (p=q=1: one batched-proposal round accepts everyone) it is
+    ~0.17 s flat and already wins from Dpad=512. The heuristic keys
+    on the worst-case acceptance probability
+    min(1/p, 1, 1/q) / max(1/p, 1, 1/q):
+
+      >= 0.5 (mild bias)   -> rejection for Dpad > 384
+      <  0.5 (strong bias) -> rejection for Dpad > 1536
 
     Memory term: the exact kernel needs the [V, Dpad] i32+f32
     neighbor matrix resident (8 bytes/slot); above `hbm_budget_bytes`
@@ -341,7 +383,11 @@ def select_pq_kernel(num_nodes, max_degree,
     regardless of speed.
     """
     dpad = ((max(max_degree, 1) + _LANE - 1) // _LANE) * _LANE
-    if dpad > 1536:
+    inv_p, inv_q = 1.0 / max(p, 1e-9), 1.0 / max(q, 1e-9)
+    ub = max(inv_p, 1.0, inv_q)
+    worst_accept = min(inv_p, 1.0, inv_q) / ub
+    thresh = 384 if worst_accept >= 0.5 else 1536
+    if dpad > thresh:
         return "rejection"
     if num_nodes * dpad * 8 > hbm_budget_bytes:
         return "rejection"
@@ -387,7 +433,7 @@ def simulate_walks(
     if kind == "node2vec":
         if use_rejection_sampling is None:
             use_rejection_sampling = (
-                select_pq_kernel(dg.num_nodes, dg.max_degree)
+                select_pq_kernel(dg.num_nodes, dg.max_degree, p, q)
                 == "rejection"
             )
         if use_rejection_sampling:

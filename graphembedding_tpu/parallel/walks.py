@@ -52,15 +52,24 @@ optimality:
   (8.3M vs 4.5M edges/s at n=8, slack=2); the batched engine is the
   right shape for long walks over locality-ordered graphs and for
   real ICI, where its fewer, smaller collectives amortize latency.
-* a ragged all_to_all (exact walker exchange, O(wl) wire rows) is the
-  pod-scale endgame: `jax.lax.ragged_all_to_all` exists in this JAX
-  but is UNIMPLEMENTED on XLA:CPU (verified: `ragged-all-to-all is
-  not supported by XLA:CPU ThunkEmitter`), so it cannot be used or
-  validated in this environment — the all_gather form is kept as the
-  portable default. Crossover: all_gather wire cost n·cap·(F·4B)
-  per shard per step reaches ICI-meaningful volume (≈1 ms at 45 GB/s)
-  around n·cap ≈ 11M rows — e.g. n=256 shards × 8k-walker caps; below
-  that the all_gather rides ICI comfortably and hub-safety is free.
+* `distributed_uniform_walks_a2a` (round 4) is the POD-SHAPE engine:
+  crossers-only dense-bucketed tiled all_to_all — per-shard routed
+  volume n·(bcap+1) rows is CONSTANT in mesh size (bcap is sized to
+  the per-pair crossing peak, a property of the graph, not of n)
+  vs the all_gather's n·cap. Measured occupancy at n=8 on the wiki
+  SBM: 2,740 real crossing rows/shard/round (33 KB) inside a 16.8k
+  row (202 KB) dense frame vs the all_gather's 134k rows (1.08 MB).
+  ICI projection (RESULTS.md round 4): walk comm_efficiency 0.90
+  (dense) / 0.96 (ragged) at ANY n vs 0.71@8 → 0.24@64 for the
+  all_gather — the ≥0.8 BASELINE bar is cleared structurally. On
+  THIS host the plain engine still wins wall-clock (routing is
+  dispatch/sync-bound at ~5 ms/round across a 4x volume sweep — a
+  property of 8 virtual devices on 4 cores, not of the design).
+* `jax.lax.ragged_all_to_all` (zero-padding exact exchange) remains
+  UNIMPLEMENTED on XLA:CPU (re-probed every test run,
+  tests/test_walks_a2a.py); when a backend supports it the a2a
+  engine's buckets are already sorted-by-destination, so the ragged
+  form drops in as a frame-compression of the same exchange.
 - Each shard records tokens for walkers it hosts into a (walk_id, t)
   buffer; buffers are summed across shards at the end (each cell is
   written by exactly one shard).

@@ -113,7 +113,13 @@ class SkipGramConfig:
     # 0.77 at 16, 0.98 at 4 and at 1 (2-seed mean, 8 devices). 4 keeps
     # the table allreduce amortized 4x with no measured loss vs 1.
     use_pallas: bool = False  # fused Pallas compute kernel (see
-    # ops.pallas_sgns) vs plain XLA einsums for the block gradients
+    # ops.pallas_sgns) vs plain XLA einsums for the block gradients.
+    # FATE SETTLED (round 4): the Pallas compute kernel measured
+    # 140.9 vs XLA 157.1 M pairs/s at the default shapes
+    # (benchmarks/pallas_vs_xla.py) and compute is ~12% of the step,
+    # so no shape can make it the winner; it is kept as the
+    # SEMANTICS ORACLE (allclose-tested vs the einsum path,
+    # tests/test_pallas_sgns.py), not a performance path
     matmul_bf16: bool = False  # run the six gradient einsums with
     # bfloat16 operands + f32 accumulation. Measured a WASH at the
     # default shapes (interleaved A/B: 83.8 vs 84.2M pairs/s — the
@@ -326,6 +332,7 @@ def _prepare_epoch(walks, keep_tok, key):
         "update_cap",
         "sparse_cap",
         "matmul_bf16",
+        "stale_groups",
     ),
     donate_argnums=(0,),
 )
@@ -350,6 +357,7 @@ def sgns_block_chunk_cat(
     update_cap=8.0,
     sparse_cap=False,
     matmul_bf16=False,
+    stale_groups=1,
 ):
     """`chunk_steps` SGNS steps over consecutive walk blocks (one scan).
 
@@ -569,19 +577,61 @@ def sgns_block_chunk_cat(
         pairs = jnp.sum(mask)
         return w_cat, loss, pairs
 
-    def step(carry, xs):
-        w_cat = carry
-        off, eff_b, neg, lr = xs
-        tok, y, vn = gather_block(w_cat, off, neg)
-        w_cat, loss, pairs = apply_block(
-            w_cat, tok, y, vn, eff_b, neg, lr
-        )
-        return w_cat, (loss, pairs)
+    # --- cross-step pipelining (stale_groups) -------------------------
+    # With A = stale_groups > 1, each scan iteration gathers A blocks
+    # from the SAME table state up front, then applies their updates
+    # sequentially. Step i+1's gather no longer depends on step i's
+    # scatter+add inside a group, so XLA is free to run the gather
+    # stream concurrently with the scatter stream — the overlap the
+    # steady-state roofline (pairs / max(t_gather, t_scatter),
+    # utils/profiling.py) prices in. Cost: updates within a group see
+    # a table up to A-1 steps stale — the same staleness class as
+    # gensim's hogwild threads (whose effective staleness is the
+    # thread count), bounded by the per-row update cap. A must divide
+    # the chunk; it is clamped down to the nearest divisor.
+    A = max(int(stale_groups), 1)
+    while S % A:
+        A -= 1
 
-    w_cat, (losses, pairs) = jax.lax.scan(
-        step, w_cat, (offs, eff, negs, lrs)
+    if A == 1:
+        def step(carry, xs):
+            w_cat = carry
+            off, eff_b, neg, lr = xs
+            tok, y, vn = gather_block(w_cat, off, neg)
+            w_cat, loss, pairs = apply_block(
+                w_cat, tok, y, vn, eff_b, neg, lr
+            )
+            return w_cat, (loss, pairs)
+
+        w_cat, (losses, pairs) = jax.lax.scan(
+            step, w_cat, (offs, eff, negs, lrs)
+        )
+        return w_cat, losses, pairs
+
+    def step_group(carry, xs):
+        w_cat = carry
+        off_a, eff_a, neg_a, lr_a = xs  # leading dim A
+        gathered = [
+            gather_block(w_cat, off_a[i], neg_a[i]) for i in range(A)
+        ]
+        losses, pairs = [], []
+        for i in range(A):
+            tok, y, vn = gathered[i]
+            w_cat, loss, p = apply_block(
+                w_cat, tok, y, vn, eff_a[i], neg_a[i], lr_a[i]
+            )
+            losses.append(loss)
+            pairs.append(p)
+        return w_cat, (jnp.stack(losses), jnp.stack(pairs))
+
+    xs = (
+        offs.reshape(S // A, A),
+        eff.reshape(S // A, A, G, PL),
+        negs.reshape(S // A, A, G2, K),
+        lrs.reshape(S // A, A),
     )
-    return w_cat, losses, pairs
+    w_cat, (losses, pairs) = jax.lax.scan(step_group, w_cat, xs)
+    return w_cat, losses.reshape(S), pairs.reshape(S)
 
 
 def sgns_block_chunk(w_in, w_out, walks, neg_table, key, alpha,

@@ -48,7 +48,34 @@ Measured (2026-08-20, one v5e): 157 M pairs/s ≈ 75% of the pipelined
 ceiling (~210 M at the vetted constants), ~1.1x the same-step
 row-traffic time, ~1.3x the serial floor — the measurement sits
 INSIDE the bracket and the remaining ~25% is real, disclosed
-headroom (deeper cross-step pipelining / fused-scatter scheduling).
+headroom.
+
+Where the last 25% lives (round-4 measurements, RESULTS.md):
+
+- NOT in the cross-step data dependency. `stale_groups=A`
+  (train/skipgram.py) gathers A blocks from one table state so the
+  gather stream is free of the scatter stream for A steps; measured
+  A=1/2/4/8 -> 155.8/153.1/151.9/149.9 M pairs/s — monotonically
+  WORSE. XLA is already pipelining the streams (that is why the
+  same-step bound is beaten); relaxing the dependency only adds live
+  buffers.
+- NOT in the block-gradient compute. The fused Pallas compute kernel
+  (ops/pallas_sgns.py, `use_pallas=True`) measured 140.9 vs XLA's
+  157.1 M (benchmarks/pallas_vs_xla.py) — compute is 142 us of a
+  ~1150 us step and XLA fuses it under the row traffic; the Pallas
+  kernel stays the semantics oracle (its grads are allclose-tested
+  against the einsum path), not the performance path.
+- The residual is CONCURRENT-STREAM CONTENTION the max() ceiling
+  idealizes away: the per-row constants were measured with each
+  stream ISOLATED (benchmarks/row_issue.py); live same-device
+  re-measurement under load shows 1.6-1.9x those costs. Overlapped
+  gather+scatter streams share HBM row-issue machinery, so the
+  sustained stage time is max(t_g, t_s) only if the slower stream
+  loses nothing to the faster one — measured sharing efficiency is
+  ~75%, which is exactly where the kernel sits. Closing it would
+  need a hand-scheduled fused gather->compute->scatter kernel with
+  multi-row DMA batching that beats XLA's row issue rate — the one
+  remaining untried lever, recorded as such.
 
 bench.py measures the per-row constants live on the device
 (`benchmarks.row_issue.measure_row_issue`, clean pre-generated-ids

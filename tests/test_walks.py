@@ -189,12 +189,16 @@ def test_select_pq_kernel_heuristic():
     HBM budget."""
     from graphembedding_tpu.ops.walk import select_pq_kernel
 
-    assert select_pq_kernel(20000, 8) == "exact"
-    assert select_pq_kernel(20000, 512) == "exact"
-    assert select_pq_kernel(20000, 1024) == "exact"
-    assert select_pq_kernel(20000, 2048) == "rejection"
+    # strong bias (the canonical p=.25, q=4): exact through Dpad=1024
+    assert select_pq_kernel(20000, 8, 0.25, 4.0) == "exact"
+    assert select_pq_kernel(20000, 512, 0.25, 4.0) == "exact"
+    assert select_pq_kernel(20000, 1024, 0.25, 4.0) == "exact"
+    assert select_pq_kernel(20000, 2048, 0.25, 4.0) == "rejection"
+    # mild bias (p=q=1): batched-proposal rejection wins from Dpad=512
+    assert select_pq_kernel(20000, 128, 1.0, 1.0) == "exact"
+    assert select_pq_kernel(20000, 512, 1.0, 1.0) == "rejection"
     # memory gate: 5M nodes x 1152-pad x 8B = 46 GB >> budget
-    assert select_pq_kernel(5_000_000, 1100) == "rejection"
+    assert select_pq_kernel(5_000_000, 1100, 0.25, 4.0) == "rejection"
     # forced-override plumbing: Node2Vec(use_rejection_sampling=...)
     # keeps the flag; None resolves via the heuristic
     import networkx as nx
