@@ -222,7 +222,10 @@ def measure_million(n_rep=3):
     w_in, w_out = trainer.init_tables(V, jax.random.PRNGKey(1))
     w_cat = jnp.concatenate([w_in, w_out], axis=1)
     del w_in, w_out
-    S, Bw = cfg.chunk_steps, cfg.block_walks
+    # the trainer's large-corpus policy (8x blocks at >=256 blocks of
+    # work — quality-validated, see SkipGramTrainer.fit): the driver
+    # figure should reflect the shipped path, not the wiki default
+    S, Bw = cfg.chunk_steps, 8 * cfg.block_walks
 
     from graphembedding_tpu.train.skipgram import sgns_block_chunk_cat
 
@@ -310,10 +313,12 @@ def main():
     try:
         extra["million_node_pairs_per_s"] = measure_million()
         extra["million_node_note"] = (
-            "V=1M locality corpus, sparse-cap fused-table chunk "
-            "(single-chip scatter-latency bound, RESULTS.md r3); "
-            "rowshard over a real slice is the path past it — "
-            "per-shard scatter ranges shrink V/n per chip"
+            "V=1M locality corpus, sparse-cap fused-table chunk at "
+            "the trainer's 8x-block large-corpus policy (quality-"
+            "validated; RESULTS.md r4 — scatter latency hides under "
+            "more rows in flight); rowshard over a real slice is the "
+            "path further: per-shard scatter ranges shrink V/n per "
+            "chip"
         )
     except Exception as e:  # pragma: no cover - defensive
         extra["million_node_pairs_per_s"] = f"unavailable ({e})"

@@ -786,16 +786,24 @@ class SkipGramTrainer:
         # structure SGD needs — measured on 120-node graphs)
         P = max(min(max(128 // L, 1), NW), 1)
         bw_req = cfg.block_walks
-        # very large corpora (>= 256 blocks of the configured size) run
-        # 4x blocks: at 1M nodes / 5M walks this measured 43.4M vs
-        # 23.1M pairs/s on one v5e chip (bigger scatters pipeline row
-        # issues better); small corpora keep the F1-validated default
+        # large corpora run bigger blocks: scattered row WRITES on
+        # GB-scale tables are latency-bound, and more rows in flight
+        # per step hide more of it. Measured at 1M nodes (locality
+        # corpus, one v5e, round 4): 33.7 / 34.1 / 56.9 / 60.2 M
+        # pairs/s at Bw = 4032 / 8064 / 16128 / 32256 — and larger
+        # blocks are QUALITY-SAFE under the update cap (100k-node
+        # 40-class SBM, 2 seeds: micro-F1 0.957 @4032, 0.956 @16128,
+        # 0.965 @32256). Small corpora keep the F1-validated default
+        # (>=128 blocks of work gates the 4x step, >=256 the 8x).
         table_bytes = num_nodes * 2 * cfg.embed_size * 4
-        if NW >= 256 * cfg.block_walks and table_bytes <= (6 << 30):
+        if table_bytes <= (6 << 30):
             # don't upscale blocks when the table already dominates
-            # HBM (10M nodes = 10 GB of 16): the 4x block's chunk
+            # HBM (10M nodes = 10 GB of 16): the big block's chunk
             # temporaries are the difference between fitting and OOM
-            bw_req = 4 * cfg.block_walks
+            if NW >= 256 * cfg.block_walks:
+                bw_req = 8 * cfg.block_walks
+            elif NW >= 128 * cfg.block_walks:
+                bw_req = 4 * cfg.block_walks
         bw = min(bw_req, max(NW // 4, P))
         bw = max((bw // P) * P, P)
         n_blocks = max(NW // bw, 1)
