@@ -724,6 +724,40 @@ def _prepare_epoch_regather(walks, keep, key):
     return _subsample_compact(w, keep[jnp.maximum(w, 0)], ks)
 
 
+def plan_block_walks(NW, L, num_nodes, cfg) -> int:
+    """Block-size policy for a corpus of NW walks of length L.
+
+    - round the block to a multiple of the packing factor P = 128//L
+      (see sgns_block_chunk) so every walk in a block trains;
+    - cap at NW//4 so tiny corpora keep >= 4 sequential blocks per
+      epoch (a single whole-corpus block loses the sequential
+      structure SGD needs — measured on 120-node graphs);
+    - LARGE corpora run bigger blocks: scattered row WRITES on
+      GB-scale tables are latency-bound, and more rows in flight per
+      step hide more of it. Measured at 1M nodes (locality corpus,
+      one v5e, round 4): 33.7 / 34.1 / 56.9 / 60.2 M pairs/s at
+      Bw = 4032 / 8064 / 16128 / 32256 — and larger blocks are
+      QUALITY-SAFE under the per-row update cap (100k-node 40-class
+      SBM, 2 seeds: micro-F1 0.957 @4032, 0.956 @16128, 0.965
+      @32256). >=128 blocks of corpus work gates the 4x step, >=256
+      the 8x; never upscale when the table already dominates HBM
+      (10M nodes = 10 GB of 16 — the big block's chunk temporaries
+      are the difference between fitting and OOM). Wiki-scale is
+      saturated at the default (157.5 M at 4032, monotonically
+      slightly worse above), so small corpora keep it.
+    """
+    P = max(min(max(128 // L, 1), NW), 1)
+    bw_req = cfg.block_walks
+    table_bytes = num_nodes * 2 * cfg.embed_size * 4
+    if table_bytes <= (6 << 30):
+        if NW >= 256 * cfg.block_walks:
+            bw_req = 8 * cfg.block_walks
+        elif NW >= 128 * cfg.block_walks:
+            bw_req = 4 * cfg.block_walks
+    bw = min(bw_req, max(NW // 4, P))
+    return max((bw // P) * P, P)
+
+
 class SkipGramTrainer:
     """High-level SGNS fit over a walk corpus."""
 
@@ -779,33 +813,7 @@ class SkipGramTrainer:
             validate_walks(np.asarray(walks), num_nodes)
         walks = jnp.asarray(walks)
         NW, L = walks.shape
-        # round the block to a multiple of the packing factor P=128//L
-        # (see sgns_block_chunk) so every walk in a block trains; cap
-        # at NW//4 so tiny corpora keep >=4 sequential blocks per
-        # epoch (a single whole-corpus block loses the sequential
-        # structure SGD needs — measured on 120-node graphs)
-        P = max(min(max(128 // L, 1), NW), 1)
-        bw_req = cfg.block_walks
-        # large corpora run bigger blocks: scattered row WRITES on
-        # GB-scale tables are latency-bound, and more rows in flight
-        # per step hide more of it. Measured at 1M nodes (locality
-        # corpus, one v5e, round 4): 33.7 / 34.1 / 56.9 / 60.2 M
-        # pairs/s at Bw = 4032 / 8064 / 16128 / 32256 — and larger
-        # blocks are QUALITY-SAFE under the update cap (100k-node
-        # 40-class SBM, 2 seeds: micro-F1 0.957 @4032, 0.956 @16128,
-        # 0.965 @32256). Small corpora keep the F1-validated default
-        # (>=128 blocks of work gates the 4x step, >=256 the 8x).
-        table_bytes = num_nodes * 2 * cfg.embed_size * 4
-        if table_bytes <= (6 << 30):
-            # don't upscale blocks when the table already dominates
-            # HBM (10M nodes = 10 GB of 16): the big block's chunk
-            # temporaries are the difference between fitting and OOM
-            if NW >= 256 * cfg.block_walks:
-                bw_req = 8 * cfg.block_walks
-            elif NW >= 128 * cfg.block_walks:
-                bw_req = 4 * cfg.block_walks
-        bw = min(bw_req, max(NW // 4, P))
-        bw = max((bw // P) * P, P)
+        bw = plan_block_walks(NW, L, num_nodes, cfg)
         n_blocks = max(NW // bw, 1)
         steps_per_epoch = n_blocks
         chunks_per_epoch = max(

@@ -378,3 +378,26 @@ def test_trainer_blocked_shuffle_quality():
         + (sims[10:, 10:].sum() - 10) / 90
     across = sims[:10, 10:].mean()
     assert within / 2 > across + 0.2
+
+
+def test_plan_block_walks_policy():
+    """Block policy: packing-rounded, tiny-corpus clamped, large-corpus
+    upscaled (4x at >=128 blocks, 8x at >=256), never upscaled when
+    the table dominates HBM (RESULTS.md round 4)."""
+    from graphembedding_tpu.train.skipgram import (
+        SkipGramConfig,
+        plan_block_walks,
+    )
+
+    cfg = SkipGramConfig()
+    L = 10
+    # wiki scale: 192k walks = 48 blocks -> default, rounded to P=12
+    assert plan_block_walks(192_400, L, 2405, cfg) == 4032
+    # tiny corpus: >= 4 sequential blocks per epoch
+    assert plan_block_walks(100, L, 120, cfg) == 24  # 100//4 -> P-mult
+    # >=128 blocks -> 4x
+    assert plan_block_walks(128 * 4032, L, 100_000, cfg) == 4 * 4032
+    # >=256 blocks -> 8x
+    assert plan_block_walks(2_000_000, L, 1_000_000, cfg) == 8 * 4032
+    # 10M-node table (10 GB > 6 GB budget): no upscale
+    assert plan_block_walks(20_000_000, L, 10_000_000, cfg) == 4032
