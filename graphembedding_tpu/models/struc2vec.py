@@ -481,6 +481,12 @@ class Struc2Vec(WalkEmbeddingModel):
         seed=0,
         mesh=None,
     ):
+        # opt3_num_layers: the reference's layer cap — ALSO the scale
+        # lever: deep BFS rings of a small-world graph contain most
+        # vertices, so their DTW dominates. Measured at 100k nodes
+        # (RESULTS.md round 4): 7.1 s at 3 layers vs 642 s at the
+        # full depth bound (9). Default None = full depth (reference
+        # parity); pass 3-5 for graphs past ~10^4 nodes.
         del verbose
         super().__init__(graph, walk_length, num_walks, seed)
         self.stay_prob = stay_prob
