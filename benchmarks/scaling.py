@@ -226,13 +226,14 @@ def main():
                     g, mesh, args.length, kind="uniform", num_walks=nw,
                     route_off=control, relabel=relabel, **eng_kw,
                 )
-                walks_d, ov = w.run(jax.random.PRNGKey(3))  # warm
+                walks_d, ov_warm = w.run(jax.random.PRNGKey(3))  # warm
                 # rate from MATCHED (edges, time) pairs per rep: each
                 # key walks a slightly different edge count (dead
                 # ends), so pairing the warm corpus's count with
                 # another key's time would bias the rate
                 best = float("inf")
                 best_rate = 0.0
+                ov_max = ov_warm
                 for r in range(args.reps):
                     t0 = time.time()
                     wd, ov2 = w.run_device(jax.random.PRNGKey(4 + r))
@@ -240,6 +241,7 @@ def main():
                     dt = time.time() - t0
                     best = min(best, dt)
                     if not control:  # control rate is never consumed
+                        ov_max = max(ov_max, int(ov2))
                         wd_np = np.asarray(wd)
                         # run_device keeps filler walker rows (start
                         # -1): count edges only on real rows, or the
@@ -255,6 +257,9 @@ def main():
                     rounds_full = w.last_rounds
                     crossed_full = w.last_crossed
                     rate = best_rate
+                    # overflow from the MEASURED engine's runs (the
+                    # control clamps hops local and always reports 0)
+                    ov = ov_max
             # perdev(n)/perdev(1) = weak eff AND strong eff (speedup/n)
             perdev = rate / n
             if base_perdev is None:

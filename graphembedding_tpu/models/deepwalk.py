@@ -17,12 +17,17 @@ from graphembedding_tpu.ops.walk import simulate_walks
 
 class DeepWalk(WalkEmbeddingModel):
     def __init__(self, graph, walk_length=10, num_walks=80, workers=1,
-                 seed=0, mesh=None):
+                 seed=0, mesh=None, walk_exchange=None):
         """`mesh=` runs the WALK phase sharded too (edge-partitioned
         CSR + hub-safe routed walkers, `parallel.walks`) — the scale
         path for graphs that exceed one chip's HBM; `train()` then
         defaults to the same mesh. Without it the replicated
-        single-chip kernel is used (faster at reference scale)."""
+        single-chip kernel is used (faster at reference scale).
+
+        `walk_exchange='a2a'` selects the crossers-only exact-exchange
+        engine (constant per-shard wire in mesh size — the pod-scale
+        form, RESULTS.md r4); default None = the all_gather engine,
+        which wins on small meshes."""
         del workers  # reference API parity; device parallelism instead
         super().__init__(graph, walk_length, num_walks, seed)
         self.mesh = mesh
@@ -33,7 +38,7 @@ class DeepWalk(WalkEmbeddingModel):
 
             walker = DistributedWalker(
                 self.graph, mesh, walk_length, kind="uniform",
-                num_walks=num_walks,
+                num_walks=num_walks, exchange=walk_exchange,
             )
             self.walks, self.walk_overflow = walker.run(
                 jax.random.PRNGKey(seed)

@@ -50,9 +50,17 @@ class Node2Vec(WalkEmbeddingModel):
         if use_rejection_sampling is None:
             from graphembedding_tpu.ops.walk import select_pq_kernel
 
+            # the mesh path partitions the [V, Dpad] neighbor matrix
+            # across the data axis, so the per-chip memory gate scales
+            # with the mesh (a 10M-node graph that busts one chip's
+            # budget fits fine across 8)
+            n_parts = (
+                mesh.shape.get("data", 1) if mesh is not None else 1
+            )
             use_rejection_sampling = (
                 select_pq_kernel(
-                    self.graph.num_nodes, self.graph.max_degree, p, q
+                    self.graph.num_nodes, self.graph.max_degree, p, q,
+                    hbm_budget_bytes=(4 << 30) * n_parts,
                 ) == "rejection"
             )
         self.use_rejection_sampling = bool(use_rejection_sampling)

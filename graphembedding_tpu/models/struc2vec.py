@@ -249,7 +249,12 @@ def build_context_graph(graph, max_layers=None, opt1=True, opt2=True,
         )
 
     chunk = 2_000_000
-    parts = []  # (pu_c, pv_c, dist_c [m, ml], nlay_c)
+    # per-layer edge pieces, built as each chunk finishes so the f64
+    # [chunk, ml] distance buffer is FREED before the next chunk runs
+    # — retained peak is the per-layer OUTPUT (u/v i64 + w f32 per
+    # surviving pair-layer), not O(n_pairs*ml*8)
+    pieces = {}  # k -> list of (u, v, w_f32)
+    n_layers_used = 0
     for lo in range(0, n_pairs, chunk):
         hi = min(lo + chunk, n_pairs)
         pu_c, pv_c = pu[lo:hi], pv[lo:hi]
@@ -277,19 +282,19 @@ def build_context_graph(graph, max_layers=None, opt1=True, opt2=True,
                     acc += _dtw(lu[k], lv[k], opt1=opt1)
                     dist_c[i, k] = acc
                 nlay_c[i] = common
-        parts.append((pu_c, pv_c, dist_c, nlay_c))
+        k_max = int(nlay_c.max()) if hi > lo else 0
+        n_layers_used = max(n_layers_used, k_max)
+        for k in range(k_max):
+            sel = nlay_c > k
+            pieces.setdefault(k, []).append(
+                (pu_c[sel], pv_c[sel],
+                 np.exp(-dist_c[sel, k]).astype(np.float32))
+            )
+        del dist_c, nlay_c  # free the chunk buffer before the next
 
-    n_layers_used = max(
-        (int(p[3].max()) for p in parts if p[3].size), default=0
-    )
     layer_edges = []
     for k in range(n_layers_used):
-        us, vs, ws = [], [], []
-        for pu_c, pv_c, dist_c, nlay_c in parts:
-            sel = nlay_c > k
-            us.append(pu_c[sel])
-            vs.append(pv_c[sel])
-            ws.append(np.exp(-dist_c[sel, k]))
+        us, vs, ws = zip(*pieces.pop(k))
         layer_edges.append(
             (np.concatenate(us), np.concatenate(vs),
              np.concatenate(ws))

@@ -792,7 +792,7 @@ def place_arrivals(cur, wid, t, pend, out, arrivals, length):
 
 def distributed_uniform_walks_a2a(
     mesh, *, length, vp, n_walkers, slack=4, hop_batch=1,
-    bucket_cap=None, route_off=False,
+    bucket_cap=None, route_off=False, weighted=False,
 ):
     """Crossers-only exact-exchange uniform walks (pod-shape engine).
 
@@ -808,11 +808,19 @@ def distributed_uniform_walks_a2a(
       `bcap` rows (`bucket_by_dest` — sort + segment rank, O(cap log
       cap) sender work independent of n);
     - one `all_to_all` moves bucket d to shard d: each shard sends AND
-      receives exactly n*bcap rows. With the default
-      bcap = max(ceil(2*wl/n), 8), that is ~2*wl rows per shard per
+      receives exactly n*(bcap+1) rows. With the default
+      bcap = max(ceil(4*wl/n), 64), that is ~4*wl rows per shard per
       round — CONSTANT in n (vs the all_gather's n*slack*wl), the
       property that makes the exchange pod-shaped: adding shards adds
-      wire links without adding per-shard routed volume;
+      wire links without adding per-shard routed volume. The 4x
+      headroom over the mean per-pair load wl*cross_rate/n absorbs
+      destination skew; per-pair traffic beyond bcap costs
+      BACKPRESSURE retry rounds, never drops — graphs whose crossers
+      concentrate on few destinations (e.g. strongly locality-ordered
+      rings) should raise `bucket_cap` toward wl/2 per pair, trading
+      wire for rounds (measured on the wiki SBM at n=8, where
+      4*wl/n = wl/2 so the two regimes coincide: bcap=wl/2 -> 10
+      rounds, wl/4 -> 19, wl/8 -> 29);
     - receivers place arrivals into free slots (`place_arrivals`,
       O(n*bcap) = O(wl) work).
 
@@ -828,9 +836,14 @@ def distributed_uniform_walks_a2a(
     all_to_all: each bucket carries one extra row with the sender's
     live count, so a round has exactly ONE collective.
     `route_off=True` (timing control, semantics-free) clamps crossers
-    onto their shard and skips bucket+a2a+placement; the control
-    keeps a scalar psum for termination (comm the full path does NOT
-    pay — the conservative direction for t_ctl/t_full).
+    onto their shard and skips bucket+a2a+placement entirely; with
+    every hop local, the round count is static, so the control runs
+    ZERO collectives — pure per-device compute. Note the plain
+    engine's control is the same (its `_route` is skipped) but the
+    BATCHED engine's control still pays its all_gather each round, so
+    comm_efficiency numbers are comparable between this engine and
+    the plain one, and conservative (biased low) for this engine
+    versus the batched one.
 
     `jax.lax.ragged_all_to_all` (the zero-padding exact form) remains
     unimplemented on XLA:CPU (re-verified round 4 —
@@ -855,19 +868,16 @@ def distributed_uniform_walks_a2a(
     n = mesh.shape["data"]
     wl = n_walkers // n
     cap = wl * slack
-    # per-pair bucket default: under a locality (RCM) vertex order
-    # crossers concentrate on ADJACENT shards (~half each way), so the
-    # per-pair peak is ~wl*cross_rate/2 regardless of n — size for
-    # cross_rate ≈ 1 (no-locality worst case) instead of the uniform
-    # 2*wl/n, which measured 19 retry rounds at n=8 on the wiki SBM
-    bcap = bucket_cap or max(-(-wl // 2), 8)
+    # constant-total-volume default (see docstring): ~4*wl routed rows
+    # per shard per round at ANY n; the 4x-over-mean headroom absorbs
+    # destination skew (undersizing is never incorrect — backpressure
+    # pays retry rounds: wl/2 -> 10 rounds, wl/4 -> 19, wl/8 -> 29
+    # measured at n=8 on the wiki SBM, where 4*wl/n equals wl/2)
+    bcap = bucket_cap or max(-(-4 * wl // n), 64)
     send_cap = 2 * wl  # total crossers compacted per round (sort size)
     H = hop_batch
 
-    def body(row_ptr, col_idx, degree, starts, key):
-        row_ptr = row_ptr[0]
-        col_idx = col_idx[0]
-        degree = degree[0]
+    def core(row_ptr, col_idx, degree, accept, alias, starts, key):
         me = jax.lax.axis_index("data")
         lo = me * vp
 
@@ -893,10 +903,22 @@ def distributed_uniform_walks_a2a(
                 lv = jnp.where(active, cur - lo, 0)
                 deg = jnp.where(active, degree[lv], 0)
                 u1 = jax.random.uniform(k, (cap,))
-                pick = jnp.minimum(
-                    (u1 * deg.astype(jnp.float32)).astype(jnp.int32),
-                    jnp.maximum(deg - 1, 0),
-                )
+                if weighted:
+                    from graphembedding_tpu.ops.alias import alias_draw
+
+                    u2 = jax.random.uniform(
+                        jax.random.fold_in(k, 1), (cap,)
+                    )
+                    pick = alias_draw(
+                        accept, alias, row_ptr[lv],
+                        jnp.maximum(deg, 1), u1, u2,
+                    )
+                else:
+                    pick = jnp.minimum(
+                        (u1 * deg.astype(jnp.float32)).astype(
+                            jnp.int32),
+                        jnp.maximum(deg - 1, 0),
+                    )
                 nxt = col_idx[row_ptr[lv] + pick]
                 wid = jnp.where(active & (deg == 0), -1, wid)
                 nxt_ok = active & (deg > 0)
@@ -980,9 +1002,22 @@ def distributed_uniform_walks_a2a(
         return (out - 1, jax.lax.psum(ov, "data"), rounds,
                 jax.lax.psum(xs, "data"))
 
+    if weighted:
+        def body(row_ptr, col_idx, degree, accept, alias, starts,
+                 key):
+            return core(row_ptr[0], col_idx[0], degree[0], accept[0],
+                        alias[0], starts, key)
+
+        in_specs = (P("data"),) * 5 + (P("data"), P())
+    else:
+        def body(row_ptr, col_idx, degree, starts, key):
+            return core(row_ptr[0], col_idx[0], degree[0], None, None,
+                        starts, key)
+
+        in_specs = (P("data"),) * 3 + (P("data"), P())
+
     fn = shard_map(
-        body, mesh=mesh,
-        in_specs=(P("data"),) * 3 + (P("data"), P()),
+        body, mesh=mesh, in_specs=in_specs,
         out_specs=(P(), P(), P(), P()),
         check_vma=False,
     )
@@ -1435,21 +1470,36 @@ class DistributedWalker:
                              "(None = all_gather engines, 'a2a' = "
                              "crossers-only exact exchange)")
         if exchange == "a2a":
-            if kind != "uniform":
+            if kind not in ("uniform", "weighted"):
                 raise ValueError(
-                    "exchange='a2a' is currently wired for "
-                    "kind='uniform' (the flagship scaling path)"
+                    "exchange='a2a' is currently wired for the "
+                    "first-order kinds ('uniform'/'weighted')"
                 )
-            parts = partition_csr(graph, n)
+            if kind == "weighted":
+                accept, alias = graph.host_alias()
+                parts = partition_csr(
+                    graph, n,
+                    edge_arrays={
+                        "accept": (accept.astype(np.float32), 1.0),
+                        "alias": (alias.astype(np.int32), 0),
+                    },
+                )
+            else:
+                parts = partition_csr(graph, n)
             self._fn = distributed_uniform_walks_a2a(
                 mesh, length=walk_length, vp=vp, n_walkers=n_walkers,
                 slack=slack, hop_batch=max(hop_batch, 1),
                 bucket_cap=bucket_cap, route_off=route_off,
+                weighted=(kind == "weighted"),
             )
             self._args = (
                 jnp.asarray(parts["row_ptr"]),
                 jnp.asarray(parts["col_idx"]),
                 jnp.asarray(parts["degree"]),
+            ) + (
+                (jnp.asarray(parts["accept"]),
+                 jnp.asarray(parts["alias"]))
+                if kind == "weighted" else ()
             )
         elif kind == "uniform" and hop_batch:
             parts = partition_csr(graph, n)

@@ -297,3 +297,39 @@ def test_ragged_all_to_all_backend_probe():
             "ragged_all_to_all now works on XLA:CPU — wire the ragged "
             "path in distributed_uniform_walks_a2a"
         )
+
+
+def test_deepwalk_model_a2a_exchange():
+    """Model-level reach: DeepWalk(G, mesh=..., walk_exchange='a2a')
+    runs the exact-exchange engine end to end."""
+    from graphembedding_tpu.data.datasets import synthetic_wiki
+    from graphembedding_tpu.models import DeepWalk
+
+    ds = synthetic_wiki(num_nodes=120, num_classes=4, avg_degree=6,
+                        seed=2)
+    mesh = make_mesh((len(jax.devices()), 1))
+    m = DeepWalk(ds.graph, walk_length=6, num_walks=4, mesh=mesh,
+                 walk_exchange="a2a")
+    assert m.walk_overflow == 0
+    assert m.walks.shape[1] == 6
+    m.train(embed_size=8, window_size=2, iter=1)
+    assert m.embedding_table.shape == (120, 8)
+
+
+def test_a2a_weighted_distribution():
+    """Weighted first-order hops through the exact exchange: empirical
+    next-hop distribution matches the edge weights (star graph)."""
+    k = 6
+    src = np.zeros(k, dtype=int)
+    dst = np.arange(1, k + 1)
+    w = np.arange(1, k + 1, dtype=np.float64)  # weight ∝ leaf id
+    g = Graph(src, dst, w, directed=False)
+    mesh = make_mesh((len(jax.devices()), 1))
+    wk = DistributedWalker(g, mesh, 2, kind="weighted", num_walks=600,
+                           exchange="a2a", slack=16)
+    walks, ov = wk.run(jax.random.PRNGKey(2))
+    hub_rows = walks[walks[:, 0] == 0]
+    freq = np.bincount(hub_rows[:, 1], minlength=k + 1)[1:]
+    freq = freq / freq.sum()
+    target = w / w.sum()
+    np.testing.assert_allclose(freq, target, atol=0.04)
