@@ -1413,6 +1413,221 @@ def distributed_multilayer_walks(
     return jax.jit(fn)
 
 
+def distributed_multilayer_walks_a2a(
+    mesh, *, length, vp, n_walkers, stay_prob, max_moves=16, slack=4,
+    bucket_cap=None,
+):
+    """Struc2Vec multilayer walks through the crossers-only exchange.
+
+    Same walk semantics as `distributed_multilayer_walks` (bounded
+    in-step layer-move loop, forced step on exhaustion — reference
+    `BiasedWalker._exec_random_walk [U]`), with the round-4 exact
+    exchange instead of the all_gather router: walkers carry their own
+    position t, crossers are bucketed per destination and moved by ONE
+    tiled all_to_all per round (constant ~4*wl routed rows per shard —
+    see `distributed_uniform_walks_a2a`), bucket overflow is
+    backpressure. The (layer, t) pair rides the exchange PACKED into
+    the third payload column (layer*2^16 + t — both are < 2^16 by
+    construction: layers are BFS depths, t < walk length), so
+    `bucket_by_dest`'s 3-column frame is reused unchanged.
+
+    Returns fn(row_ptr [n,K,Vp+1], col_idx [n,K,E], accept [n,K,E],
+    alias [n,K,E], gamma [n,K,Vp], starts [n,wl], key)
+    -> (walks, overflow, rounds, crossed).
+    """
+    n = mesh.shape["data"]
+    wl = n_walkers // n
+    cap = wl * slack
+    bcap = bucket_cap or max(-(-4 * wl // n), 64)
+    send_cap = 2 * wl
+    sp = jnp.float32(stay_prob)
+
+    def body(row_ptr, col_idx, accept, alias, gamma, starts, key):
+        row_ptr = row_ptr[0]  # [K, Vp+1]
+        col_idx = col_idx[0]  # [K, E]
+        accept = accept[0]
+        alias_t = alias[0]
+        gamma = gamma[0]  # [K, Vp]
+        K, Vp1 = row_ptr.shape
+        e_cols = col_idx.shape[1]
+        me = jax.lax.axis_index("data")
+        lo = me * vp
+
+        rp_f = row_ptr.reshape(-1)
+        col_f = col_idx.reshape(-1)
+        acc_f = accept.reshape(-1)
+        ali_f = alias_t.reshape(-1)
+        gam_f = gamma.reshape(-1)
+
+        def flat_rp(layer, lv):
+            return rp_f[layer * Vp1 + lv]
+
+        def deg_at(layer, lv):
+            return flat_rp(layer, lv + 1) - flat_rp(layer, lv)
+
+        def neighbor_step(layer, lv, v_global, k):
+            d = deg_at(layer, lv)
+            off = flat_rp(layer, lv)
+            k1, k2 = jax.random.split(k)
+            u1 = jax.random.uniform(k1, lv.shape)
+            u2 = jax.random.uniform(k2, lv.shape)
+            pick = jnp.minimum(
+                (u1 * d.astype(jnp.float32)).astype(jnp.int32),
+                jnp.maximum(d - 1, 0),
+            )
+            flat = layer * e_cols + off + pick
+            take = u2 < acc_f[flat]
+            slot = jnp.where(take, pick, ali_f[flat])
+            nxt = col_f[layer * e_cols + off + slot]
+            return jnp.where(d > 0, nxt, v_global)
+
+        cur = jnp.full((cap,), -1, jnp.int32)
+        wid = jnp.full((cap,), -1, jnp.int32)
+        layer = jnp.zeros((cap,), jnp.int32)
+        cur = cur.at[:wl].set(starts.reshape(-1))
+        wid = wid.at[:wl].set(me * wl + jnp.arange(wl, dtype=jnp.int32))
+        wid = jnp.where(cur >= 0, wid, -1)
+        t = jnp.where(wid >= 0, 1, length).astype(jnp.int32)
+
+        out = jnp.zeros((n_walkers, length), jnp.int32)
+        out = _record(out, cur, wid, 0)
+
+        def round_body(state):
+            cur, layer, wid, t, pend, out, key, ov, _gl, r, xs = state
+            key, kr = jax.random.split(key)
+            k = jax.random.fold_in(kr, me)
+
+            active = (wid >= 0) & (pend < 0) & (t < length)
+            lv = jnp.where(active, cur - lo, 0)
+
+            def move_body(i, st):
+                layer, stepped, nxt, kk = st
+                kk, kr2, km, kn = jax.random.split(kk, 4)
+                rr = jax.random.uniform(kr2, lv.shape)
+                do_step = (rr < sp) & ~stepped
+                v_next = neighbor_step(layer, lv, cur, kn)
+                nxt = jnp.where(do_step, v_next, nxt)
+                stepped = stepped | do_step
+
+                g = gam_f[layer * (Vp1 - 1) + lv]
+                x = jnp.log(g + jnp.e)
+                p_up = x / (x + 1.0)
+                r2 = jax.random.uniform(km, lv.shape)
+                up_probe = deg_at(jnp.minimum(layer + 1, K - 1), lv)
+                can_up = (layer + 1 < K) & (up_probe > 0)
+                go_up = (r2 <= p_up) & can_up
+                go_down = (r2 > p_up) & (layer > 0)
+                moving = ~stepped & ~do_step & active
+                layer = jnp.where(
+                    moving & go_up,
+                    layer + 1,
+                    jnp.where(moving & go_down, layer - 1, layer),
+                )
+                return layer, stepped, nxt, kk
+
+            stepped0 = jnp.zeros_like(lv, dtype=bool)
+            layer, stepped, nxt, _kk = jax.lax.fori_loop(
+                0, max_moves, move_body, (layer, stepped0, cur, k)
+            )
+            k_force = jax.random.fold_in(k, 999)
+            v_forced = neighbor_step(layer, lv, cur, k_force)
+            nxt = jnp.where(stepped, nxt, v_forced)
+
+            local = active & (nxt >= lo) & (nxt < lo + vp)
+            cur = jnp.where(local, nxt, cur)
+            safe_w = jnp.where(local, wid, 0)
+            safe_t = jnp.where(local, jnp.minimum(t, length - 1), 0)
+            out = out.at[safe_w, safe_t].add(
+                jnp.where(local, cur + 1, 0)
+            )
+            t = jnp.where(local, t + 1, t)
+            wid = jnp.where(t >= length, -1, wid)
+            pend = jnp.where(active & ~local, nxt, pend)
+
+            live_here = jnp.sum((wid >= 0).astype(jnp.int32))
+
+            packed = layer * (1 << 16) + t
+            sbuf, sent = bucket_by_dest(
+                jnp.where((wid >= 0) & (pend >= 0), pend, -1),
+                wid, packed, vp, n, bcap, send_cap=send_cap,
+            )
+            xs = xs + jnp.sum(sent.astype(jnp.int32))
+            wid = jnp.where(sent, -1, wid)
+            pend = jnp.where(sent, -1, pend)
+            sbuf = jnp.concatenate(
+                [sbuf.reshape(n, bcap, 3),
+                 jnp.broadcast_to(
+                     jnp.asarray([live_here, -1, -1], jnp.int32),
+                     (n, 1, 3))],
+                axis=1,
+            ).reshape(n * (bcap + 1), 3)
+            recv = jax.lax.all_to_all(
+                sbuf, "data", split_axis=0, concat_axis=0, tiled=True,
+            ).reshape(n, bcap + 1, 3)
+            global_live = jnp.sum(recv[:, bcap, 0])
+            arr = recv[:, :bcap].reshape(n * bcap, 3)
+            v_a, w_a = arr[:, 0], arr[:, 1]
+            x_a = arr[:, 2]
+            l_a = jnp.maximum(x_a, 0) >> 16
+            t_a = jnp.maximum(x_a, 0) & 0xFFFF
+            mine = w_a >= 0
+            arr_rank = jnp.cumsum(mine.astype(jnp.int32)) - 1
+            free = wid < 0
+            n_free = jnp.sum(free.astype(jnp.int32))
+            ok_arr = mine & (arr_rank < n_free)
+            ov = ov + jnp.sum(mine) - jnp.sum(ok_arr)
+            free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+            fidx = jnp.full((cap + 1,), cap, jnp.int32)
+            fidx = fidx.at[jnp.where(free, free_rank, cap)].set(
+                jnp.arange(cap, dtype=jnp.int32), mode="drop"
+            )
+            dslot = jnp.where(
+                ok_arr, fidx[jnp.clip(arr_rank, 0, cap - 1)], cap
+            )
+            cur = cur.at[dslot].set(jnp.where(ok_arr, v_a, -1),
+                                    mode="drop")
+            wid = wid.at[dslot].set(jnp.where(ok_arr, w_a, -1),
+                                    mode="drop")
+            layer = layer.at[dslot].set(
+                jnp.where(ok_arr, l_a, 0), mode="drop"
+            )
+            t = t.at[dslot].set(
+                jnp.where(ok_arr, t_a + 1, length), mode="drop"
+            )
+            pend = pend.at[dslot].set(-1, mode="drop")
+            safe_w = jnp.where(ok_arr, w_a, 0)
+            safe_t = jnp.where(ok_arr, jnp.clip(t_a, 0, length - 1), 0)
+            out = out.at[safe_w, safe_t].add(
+                jnp.where(ok_arr, v_a + 1, 0)
+            )
+            wid = jnp.where(t >= length, -1, wid)
+            return (cur, layer, wid, t, pend, out, key, ov,
+                    global_live, r + 1, xs)
+
+        def cond(state):
+            return state[8] > 0
+
+        pend0 = jnp.full((cap,), -1, jnp.int32)
+        live0 = jax.lax.psum(
+            jnp.sum((wid >= 0).astype(jnp.int32)), "data"
+        )
+        state = (cur, layer, wid, t, pend0, out, key, jnp.int32(0),
+                 live0, jnp.int32(0), jnp.int32(0))
+        (cur, layer, wid, t, _p, out, key, ov, _gl, rounds,
+         xs) = jax.lax.while_loop(cond, round_body, state)
+        out = jax.lax.psum(out, "data")
+        return (out - 1, jax.lax.psum(ov, "data"), rounds,
+                jax.lax.psum(xs, "data"))
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P("data"),) * 5 + (P("data"), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 # --------------------------------------------------------------------------- #
 # high-level wrappers
 # --------------------------------------------------------------------------- #
@@ -1470,37 +1685,54 @@ class DistributedWalker:
                              "(None = all_gather engines, 'a2a' = "
                              "crossers-only exact exchange)")
         if exchange == "a2a":
-            if kind not in ("uniform", "weighted"):
+            if kind not in ("uniform", "weighted", "multilayer"):
                 raise ValueError(
-                    "exchange='a2a' is currently wired for the "
-                    "first-order kinds ('uniform'/'weighted')"
+                    "exchange='a2a' is wired for the first-order "
+                    "kinds ('uniform'/'weighted') and 'multilayer'"
                 )
-            if kind == "weighted":
-                accept, alias = graph.host_alias()
-                parts = partition_csr(
-                    graph, n,
-                    edge_arrays={
-                        "accept": (accept.astype(np.float32), 1.0),
-                        "alias": (alias.astype(np.int32), 0),
-                    },
+            if kind == "multilayer":
+                parts = partition_layers(layers, V, n)
+                self._fn = distributed_multilayer_walks_a2a(
+                    mesh, length=walk_length, vp=vp,
+                    n_walkers=n_walkers, stay_prob=stay_prob,
+                    max_moves=max_moves, slack=slack,
+                    bucket_cap=bucket_cap,
+                )
+                self._args = (
+                    jnp.asarray(parts["row_ptr"]),
+                    jnp.asarray(parts["col_idx"]),
+                    jnp.asarray(parts["accept"]),
+                    jnp.asarray(parts["alias"]),
+                    jnp.asarray(parts["gamma"]),
                 )
             else:
-                parts = partition_csr(graph, n)
-            self._fn = distributed_uniform_walks_a2a(
-                mesh, length=walk_length, vp=vp, n_walkers=n_walkers,
-                slack=slack, hop_batch=max(hop_batch, 1),
-                bucket_cap=bucket_cap, route_off=route_off,
-                weighted=(kind == "weighted"),
-            )
-            self._args = (
-                jnp.asarray(parts["row_ptr"]),
-                jnp.asarray(parts["col_idx"]),
-                jnp.asarray(parts["degree"]),
-            ) + (
-                (jnp.asarray(parts["accept"]),
-                 jnp.asarray(parts["alias"]))
-                if kind == "weighted" else ()
-            )
+                if kind == "weighted":
+                    accept, alias = graph.host_alias()
+                    parts = partition_csr(
+                        graph, n,
+                        edge_arrays={
+                            "accept": (accept.astype(np.float32), 1.0),
+                            "alias": (alias.astype(np.int32), 0),
+                        },
+                    )
+                else:
+                    parts = partition_csr(graph, n)
+                self._fn = distributed_uniform_walks_a2a(
+                    mesh, length=walk_length, vp=vp,
+                    n_walkers=n_walkers, slack=slack,
+                    hop_batch=max(hop_batch, 1),
+                    bucket_cap=bucket_cap, route_off=route_off,
+                    weighted=(kind == "weighted"),
+                )
+                self._args = (
+                    jnp.asarray(parts["row_ptr"]),
+                    jnp.asarray(parts["col_idx"]),
+                    jnp.asarray(parts["degree"]),
+                ) + (
+                    (jnp.asarray(parts["accept"]),
+                     jnp.asarray(parts["alias"]))
+                    if kind == "weighted" else ()
+                )
         elif kind == "uniform" and hop_batch:
             parts = partition_csr(graph, n)
             self._fn = distributed_uniform_walks_batched(

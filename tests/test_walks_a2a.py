@@ -333,3 +333,44 @@ def test_a2a_weighted_distribution():
     freq = freq / freq.sum()
     target = w / w.sum()
     np.testing.assert_allclose(freq, target, atol=0.04)
+
+
+def test_a2a_multilayer_matches_replicated():
+    """Multilayer walks through the exact exchange: visit distribution
+    matches the replicated single-chip kernel; full accounting."""
+    from graphembedding_tpu.models.struc2vec import (
+        build_context_graph,
+        build_layer_csr,
+        multilayer_walks,
+    )
+
+    g = zipf_hub_graph(V=48, seed=1)
+    layer_edges, K = build_context_graph(g)
+    layers = build_layer_csr(layer_edges, g.num_nodes)
+    mesh = make_mesh((len(jax.devices()), 1))
+    w = DistributedWalker(
+        None, mesh, 8, kind="multilayer", num_walks=40,
+        num_nodes=g.num_nodes, layers=layers, exchange="a2a", slack=8,
+    )
+    walks, ov = w.run(jax.random.PRNGKey(0))
+    assert ov == 0
+    assert walks.shape == (40 * g.num_nodes, 8)
+    assert (walks >= 0).all()  # forced steps: no dead walks
+    counts = np.bincount(walks[:, 0], minlength=g.num_nodes)
+    assert (counts == 40).all()
+    # distribution vs the replicated kernel
+    import jax.numpy as jnp
+
+    starts = jnp.tile(
+        jnp.arange(g.num_nodes, dtype=jnp.int32), 40
+    )
+    rw = multilayer_walks(
+        jnp.asarray(layers["row_ptr"]), jnp.asarray(layers["col_idx"]),
+        jnp.asarray(layers["accept"]), jnp.asarray(layers["alias"]),
+        jnp.asarray(layers["gamma"]), starts,
+        jax.random.PRNGKey(1), 0.3, length=8,
+    )
+    fa = np.bincount(walks.ravel(), minlength=g.num_nodes)
+    fr = np.bincount(np.asarray(rw).ravel(), minlength=g.num_nodes)
+    l1 = np.abs(fa / fa.sum() - fr / fr.sum()).sum()
+    assert l1 < 0.1, l1
