@@ -194,3 +194,21 @@ def test_reference_alias_api():
     draws = np.array([alias_sample(accept, alias) for _ in range(20000)])
     emp = np.bincount(draws, minlength=3) / draws.size
     assert np.abs(emp - np.asarray(probs)).max() < 0.02
+
+
+def test_ge_import_shim_verbatim():
+    """The reference's own import lines work verbatim via the `ge`
+    shim package (docs/MIGRATION.md: zero-line migration)."""
+    import networkx as nx
+
+    from ge import DeepWalk
+    from ge.classify import Classifier
+
+    g = nx.relabel_nodes(
+        nx.path_graph(10), {i: str(i) for i in range(10)}
+    )
+    model = DeepWalk(g, walk_length=4, num_walks=2, workers=1)
+    model.train(window_size=2, iter=1, embed_size=8, block_walks=16)
+    emb = model.get_embeddings()
+    assert set(emb) == {str(i) for i in range(10)}
+    assert Classifier(emb) is not None
