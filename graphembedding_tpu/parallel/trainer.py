@@ -63,11 +63,18 @@ class DistributedSkipGramTrainer:
                 f"corpus has {NW} walks but the mesh data axis has "
                 f"{n} devices — use a smaller mesh or more walks"
             )
-        # cap at NW//4 so tiny corpora keep sequential blocks per
-        # epoch (see train.skipgram), but never below the data axis;
-        # cap at (NW//n)*n so every device's slice holds REAL walks
-        # (dynamic_slice would silently clamp onto duplicated rows)
-        bw = min(cfg.block_walks, max(NW // 4, n), (NW // n) * n)
+        # large-corpus block upscale as in the single-chip trainer
+        # (plan_block_walks: 4x/8x blocks hide scatter latency at big
+        # V — quality-validated, RESULTS.md r4; conservative here too:
+        # the 6 GB table gate uses the FULL table even though rowshard
+        # only holds V/n rows per chip), then the mesh caps: at least
+        # the data axis, and (NW//n)*n so every device's slice holds
+        # REAL walks (dynamic_slice would silently clamp onto
+        # duplicated rows)
+        from graphembedding_tpu.train.skipgram import block_upscale
+
+        bw = min(block_upscale(NW, num_nodes, cfg),
+                 max(NW // 4, n), (NW // n) * n)
         from graphembedding_tpu.train.skipgram import (
             _gather_keep,
             _prepare_epoch,

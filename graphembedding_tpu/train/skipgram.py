@@ -747,6 +747,14 @@ def plan_block_walks(NW, L, num_nodes, cfg) -> int:
       slightly worse above), so small corpora keep it.
     """
     P = max(min(max(128 // L, 1), NW), 1)
+    bw = min(block_upscale(NW, num_nodes, cfg), max(NW // 4, P))
+    return max((bw // P) * P, P)
+
+
+def block_upscale(NW, num_nodes, cfg) -> int:
+    """The large-corpus tier of the block policy alone (no packing
+    rounding) — shared with the distributed trainer, whose per-device
+    packing rounds differently."""
     bw_req = cfg.block_walks
     table_bytes = num_nodes * 2 * cfg.embed_size * 4
     if table_bytes <= (6 << 30):
@@ -754,8 +762,7 @@ def plan_block_walks(NW, L, num_nodes, cfg) -> int:
             bw_req = 8 * cfg.block_walks
         elif NW >= 128 * cfg.block_walks:
             bw_req = 4 * cfg.block_walks
-    bw = min(bw_req, max(NW // 4, P))
-    return max((bw // P) * P, P)
+    return bw_req
 
 
 class SkipGramTrainer:
