@@ -74,7 +74,9 @@ optimality:
   buffer; buffers are summed across shards at the end (each cell is
   written by exactly one shard).
 
-Four engines share the scheme:
+Engines sharing the scheme (the all_gather router), plus the round-4
+`*_a2a` exact-exchange variants of the uniform/weighted/multilayer
+kinds (`exchange='a2a'` on DistributedWalker):
   * first-order (uniform / weighted-alias)   — DeepWalk, weighted walks
   * exact (p,q) second-order                 — Node2Vec. The bias needs
     N(prev), which may live on another shard: prev's padded neighbor row
