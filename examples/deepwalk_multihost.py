@@ -48,6 +48,11 @@ def main():
     p.add_argument("--mode", default="dp",
                    choices=("dp", "rowshard"),
                    help="sharded training mode (parallel/trainer.py)")
+    p.add_argument("--walk-engine", default="default",
+                   choices=("default", "a2a"),
+                   help="distributed walk exchange: all_gather router "
+                        "(default) or the crossers-only exact "
+                        "all_to_all (parallel/walks.py)")
     p.add_argument("--json", action="store_true")
     args = p.parse_args()
 
@@ -77,7 +82,9 @@ def main():
               f"local_devices={len(jax.local_devices())}")
 
     m = DeepWalk(ds.graph, walk_length=args.walk_length,
-                 num_walks=args.num_walks, mesh=mesh)
+                 num_walks=args.num_walks, mesh=mesh,
+                 walk_exchange=(None if args.walk_engine == "default"
+                                else args.walk_engine))
     m.train(embed_size=32, window_size=5, iter=args.iter,
             block_walks=8 * len(jax.devices()),
             parallel_mode=args.mode)

@@ -26,8 +26,16 @@ def _free_port():
     return port
 
 
-@pytest.mark.parametrize("mode,gate", [("dp", 0.9), ("rowshard", 0.7)])
-def test_two_process_deepwalk_end_to_end(tmp_path, mode, gate):
+@pytest.mark.parametrize("mode,gate,walk_engine", [
+    ("dp", 0.9, "default"),
+    ("rowshard", 0.7, "default"),
+    # the round-4 exact-exchange engine: its tiled all_to_all (and
+    # piggybacked termination count) runs over REAL cross-process
+    # gloo collectives here, not just the virtual single-process mesh
+    ("dp", 0.9, "a2a"),
+])
+def test_two_process_deepwalk_end_to_end(tmp_path, mode, gate,
+                                         walk_engine):
     """2 processes x 2 virtual CPU devices: distributed walks + sharded
     training through the reference API; rank 0's micro-F1 must clear
     the mode's gate (dp saturates the community test at this config;
@@ -59,7 +67,7 @@ def test_two_process_deepwalk_end_to_end(tmp_path, mode, gate):
              "--coordinator", f"localhost:{port}",
              "--num-processes", "2", "--process-id", str(pid),
              "--nodes", "120", "--iter", "3", "--json",
-             "--mode", mode],
+             "--mode", mode, "--walk-engine", walk_engine],
             env=env, stdout=log, stderr=subprocess.STDOUT,
             cwd=str(tmp_path),
         ))
