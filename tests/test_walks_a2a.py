@@ -374,3 +374,17 @@ def test_a2a_multilayer_matches_replicated():
     fr = np.bincount(np.asarray(rw).ravel(), minlength=g.num_nodes)
     l1 = np.abs(fa / fa.sum() - fr / fr.sum()).sum()
     assert l1 < 0.1, l1
+
+
+def test_a2a_engine_deterministic():
+    """Same key -> identical corpus (golden-seed determinism,
+    SURVEY.md §6 sanitizers row — the exchange engine included)."""
+    g = zipf_hub_graph()
+    mesh = make_mesh((len(jax.devices()), 1))
+    w = DistributedWalker(g, mesh, 8, kind="uniform", num_walks=6,
+                          exchange="a2a")
+    a, _ = w.run(jax.random.PRNGKey(7))
+    b, _ = w.run(jax.random.PRNGKey(7))
+    np.testing.assert_array_equal(a, b)
+    c, _ = w.run(jax.random.PRNGKey(8))
+    assert not np.array_equal(a, c)
