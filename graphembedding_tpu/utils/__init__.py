@@ -10,6 +10,10 @@ from graphembedding_tpu.utils.io import (
     save_npz,
     save_word2vec_format,
 )
+from graphembedding_tpu.utils.similarity import (
+    most_similar,
+    similarity,
+)
 from graphembedding_tpu.utils.vocab import (
     Vocab,
     partition_dict,
@@ -20,6 +24,8 @@ from graphembedding_tpu.utils.vocab import (
 
 __all__ = [
     "Vocab",
+    "most_similar",
+    "similarity",
     "save_word2vec_format",
     "load_word2vec_format",
     "save_npz",
