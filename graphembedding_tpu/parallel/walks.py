@@ -750,7 +750,8 @@ def bucket_by_dest(v, w, t, vp, n, bcap, send_cap=None,
     return flat[: n * bcap], sent[:cap]
 
 
-def place_arrivals(cur, wid, t, pend, out, arrivals, length):
+def place_arrivals(cur, wid, t, pend, out, arrivals, length,
+                   extra=None, extra_arrivals=None):
     """Place exchanged walkers into this shard's free slots.
 
     Pure receiver half of the exact-exchange round (unit-testable —
@@ -759,8 +760,12 @@ def place_arrivals(cur, wid, t, pend, out, arrivals, length):
     belongs to this shard (the all_to_all delivered only our bucket).
     Arrivals beyond the free-slot count are dropped and counted
     (receiver-capacity rule, identical to `_route`). The receiving
-    shard records the crossing hop's token. Returns
-    (cur, wid, t, pend, out, overflow).
+    shard records the crossing hop's token.
+
+    `extra`/`extra_arrivals` optionally scatter one more per-walker
+    i32 state column (the multilayer engine's `layer`) into the same
+    slots. Returns (cur, wid, t, pend, out, overflow) — plus the
+    updated `extra` appended when given.
     """
     cap = cur.shape[0]
     v_a, w_a, t_a = arrivals[:, 0], arrivals[:, 1], arrivals[:, 2]
@@ -789,6 +794,11 @@ def place_arrivals(cur, wid, t, pend, out, arrivals, length):
     safe_t = jnp.where(ok_arr, jnp.clip(t_a, 0, length - 1), 0)
     out = out.at[safe_w, safe_t].add(jnp.where(ok_arr, v_a + 1, 0))
     wid = jnp.where(t >= length, -1, wid)  # arrivals that finished
+    if extra is not None:
+        extra = extra.at[dslot].set(
+            jnp.where(ok_arr, extra_arrivals, 0), mode="drop"
+        )
+        return cur, wid, t, pend, out, overflow, extra
     return cur, wid, t, pend, out, overflow
 
 
@@ -1276,6 +1286,48 @@ def distributed_node2vec_rejection_walks(
     return jax.jit(fn)
 
 
+def _multilayer_local_steps(row_ptr, col_idx, accept, alias_t):
+    """Shared per-shard step closures of the two multilayer engines.
+
+    row_ptr [K, Vp+1], col_idx/accept/alias [K, E] are one shard's
+    stacked layer structures. Returns (flat_rp, deg_at,
+    neighbor_step): flat offset/degree lookups and the alias-table
+    in-layer hop (`neighbor_step(layer, lv, v_global, k)` — stays at
+    v_global on a zero-degree row). Factored so a semantics fix
+    applies to the all_gather and a2a engines at once.
+    """
+    K, Vp1 = row_ptr.shape
+    e_cols = col_idx.shape[1]
+    rp_f = row_ptr.reshape(-1)
+    col_f = col_idx.reshape(-1)
+    acc_f = accept.reshape(-1)
+    ali_f = alias_t.reshape(-1)
+
+    def flat_rp(layer, lv):
+        return rp_f[layer * Vp1 + lv]
+
+    def deg_at(layer, lv):
+        return flat_rp(layer, lv + 1) - flat_rp(layer, lv)
+
+    def neighbor_step(layer, lv, v_global, k):
+        d = deg_at(layer, lv)
+        off = flat_rp(layer, lv)
+        k1, k2 = jax.random.split(k)
+        u1 = jax.random.uniform(k1, lv.shape)
+        u2 = jax.random.uniform(k2, lv.shape)
+        pick = jnp.minimum(
+            (u1 * d.astype(jnp.float32)).astype(jnp.int32),
+            jnp.maximum(d - 1, 0),
+        )
+        flat = layer * e_cols + off + pick
+        take = u2 < acc_f[flat]
+        slot = jnp.where(take, pick, ali_f[flat])
+        nxt = col_f[layer * e_cols + off + slot]
+        return jnp.where(d > 0, nxt, v_global)
+
+    return flat_rp, deg_at, neighbor_step
+
+
 def distributed_multilayer_walks(
     mesh, *, length, vp, n_walkers, stay_prob, max_moves=16, slack=4
 ):
@@ -1304,37 +1356,13 @@ def distributed_multilayer_walks(
         alias_t = alias[0]
         gamma = gamma[0]  # [K, Vp]
         K, Vp1 = row_ptr.shape
-        e_cols = col_idx.shape[1]
         me = jax.lax.axis_index("data")
         lo = me * vp
 
-        rp_f = row_ptr.reshape(-1)
-        col_f = col_idx.reshape(-1)
-        acc_f = accept.reshape(-1)
-        ali_f = alias_t.reshape(-1)
+        flat_rp, deg_at, neighbor_step = _multilayer_local_steps(
+            row_ptr, col_idx, accept, alias_t
+        )
         gam_f = gamma.reshape(-1)
-
-        def flat_rp(layer, lv):
-            return rp_f[layer * Vp1 + lv]
-
-        def deg_at(layer, lv):
-            return flat_rp(layer, lv + 1) - flat_rp(layer, lv)
-
-        def neighbor_step(layer, lv, v_global, k):
-            d = deg_at(layer, lv)
-            off = flat_rp(layer, lv)
-            k1, k2 = jax.random.split(k)
-            u1 = jax.random.uniform(k1, lv.shape)
-            u2 = jax.random.uniform(k2, lv.shape)
-            pick = jnp.minimum(
-                (u1 * d.astype(jnp.float32)).astype(jnp.int32),
-                jnp.maximum(d - 1, 0),
-            )
-            flat = layer * e_cols + off + pick
-            take = u2 < acc_f[flat]
-            slot = jnp.where(take, pick, ali_f[flat])
-            nxt = col_f[layer * e_cols + off + slot]
-            return jnp.where(d > 0, nxt, v_global)
 
         cur = jnp.full((cap,), -1, jnp.int32)
         wid = jnp.full((cap,), -1, jnp.int32)
@@ -1443,6 +1471,12 @@ def distributed_multilayer_walks_a2a(
     bcap = bucket_cap or max(-(-4 * wl // n), 64)
     send_cap = 2 * wl
     sp = jnp.float32(stay_prob)
+    if length >= (1 << 16):
+        raise ValueError(
+            f"walk_length {length} >= 2^16 would corrupt the packed "
+            "(layer, t) exchange column — use the all_gather "
+            "multilayer engine for such walks"
+        )
 
     def body(row_ptr, col_idx, accept, alias, gamma, starts, key):
         row_ptr = row_ptr[0]  # [K, Vp+1]
@@ -1455,33 +1489,10 @@ def distributed_multilayer_walks_a2a(
         me = jax.lax.axis_index("data")
         lo = me * vp
 
-        rp_f = row_ptr.reshape(-1)
-        col_f = col_idx.reshape(-1)
-        acc_f = accept.reshape(-1)
-        ali_f = alias_t.reshape(-1)
+        flat_rp, deg_at, neighbor_step = _multilayer_local_steps(
+            row_ptr, col_idx, accept, alias_t
+        )
         gam_f = gamma.reshape(-1)
-
-        def flat_rp(layer, lv):
-            return rp_f[layer * Vp1 + lv]
-
-        def deg_at(layer, lv):
-            return flat_rp(layer, lv + 1) - flat_rp(layer, lv)
-
-        def neighbor_step(layer, lv, v_global, k):
-            d = deg_at(layer, lv)
-            off = flat_rp(layer, lv)
-            k1, k2 = jax.random.split(k)
-            u1 = jax.random.uniform(k1, lv.shape)
-            u2 = jax.random.uniform(k2, lv.shape)
-            pick = jnp.minimum(
-                (u1 * d.astype(jnp.float32)).astype(jnp.int32),
-                jnp.maximum(d - 1, 0),
-            )
-            flat = layer * e_cols + off + pick
-            take = u2 < acc_f[flat]
-            slot = jnp.where(take, pick, ali_f[flat])
-            nxt = col_f[layer * e_cols + off + slot]
-            return jnp.where(d > 0, nxt, v_global)
 
         cur = jnp.full((cap,), -1, jnp.int32)
         wid = jnp.full((cap,), -1, jnp.int32)
@@ -1568,41 +1579,19 @@ def distributed_multilayer_walks_a2a(
             ).reshape(n, bcap + 1, 3)
             global_live = jnp.sum(recv[:, bcap, 0])
             arr = recv[:, :bcap].reshape(n * bcap, 3)
-            v_a, w_a = arr[:, 0], arr[:, 1]
-            x_a = arr[:, 2]
-            l_a = jnp.maximum(x_a, 0) >> 16
-            t_a = jnp.maximum(x_a, 0) & 0xFFFF
-            mine = w_a >= 0
-            arr_rank = jnp.cumsum(mine.astype(jnp.int32)) - 1
-            free = wid < 0
-            n_free = jnp.sum(free.astype(jnp.int32))
-            ok_arr = mine & (arr_rank < n_free)
-            ov = ov + jnp.sum(mine) - jnp.sum(ok_arr)
-            free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
-            fidx = jnp.full((cap + 1,), cap, jnp.int32)
-            fidx = fidx.at[jnp.where(free, free_rank, cap)].set(
-                jnp.arange(cap, dtype=jnp.int32), mode="drop"
+            x_a = jnp.maximum(arr[:, 2], 0)
+            # unpack (layer, t) and hand the standard receiver half
+            # (place_arrivals — the unit-tested path) a plain
+            # (v, wid, t) frame plus the layer as the extra column
+            arr3 = jnp.stack(
+                [arr[:, 0], arr[:, 1], x_a & 0xFFFF], axis=1
             )
-            dslot = jnp.where(
-                ok_arr, fidx[jnp.clip(arr_rank, 0, cap - 1)], cap
+            (cur, wid, t, pend, out, ov_r,
+             layer) = place_arrivals(
+                cur, wid, t, pend, out, arr3, length,
+                extra=layer, extra_arrivals=x_a >> 16,
             )
-            cur = cur.at[dslot].set(jnp.where(ok_arr, v_a, -1),
-                                    mode="drop")
-            wid = wid.at[dslot].set(jnp.where(ok_arr, w_a, -1),
-                                    mode="drop")
-            layer = layer.at[dslot].set(
-                jnp.where(ok_arr, l_a, 0), mode="drop"
-            )
-            t = t.at[dslot].set(
-                jnp.where(ok_arr, t_a + 1, length), mode="drop"
-            )
-            pend = pend.at[dslot].set(-1, mode="drop")
-            safe_w = jnp.where(ok_arr, w_a, 0)
-            safe_t = jnp.where(ok_arr, jnp.clip(t_a, 0, length - 1), 0)
-            out = out.at[safe_w, safe_t].add(
-                jnp.where(ok_arr, v_a + 1, 0)
-            )
-            wid = jnp.where(t >= length, -1, wid)
+            ov = ov + ov_r
             return (cur, layer, wid, t, pend, out, key, ov,
                     global_live, r + 1, xs)
 

@@ -10,7 +10,7 @@ from graphembedding_tpu.utils.io import (
     save_npz,
     save_word2vec_format,
 )
-from graphembedding_tpu.utils.similarity import (
+from graphembedding_tpu.utils.simquery import (
     most_similar,
     similarity,
 )

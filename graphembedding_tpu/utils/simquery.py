@@ -33,12 +33,37 @@ def _as_table(embeddings):
     return list(names), np.asarray(table, dtype=np.float32)
 
 
+def _device_score(table, q, denom, k):
+    """Jitted scorer hoisted to module level: repeated queries reuse
+    the compiled program (k is a static arg) and jnp.asarray of the
+    same host buffer hits the device cache rather than re-staging."""
+    import jax
+    import jax.numpy as jnp
+
+    global _score_jit
+    if _score_jit is None:
+        def _score(tab, q, denom, k):
+            sims = (tab @ q) / denom
+            return jax.lax.top_k(sims, k)
+
+        _score_jit = jax.jit(_score, static_argnames=("k",))
+    return _score_jit(
+        jnp.asarray(table), jnp.asarray(q), jnp.asarray(denom), k=k
+    )
+
+
+_score_jit = None
+
+
 def most_similar(embeddings, node=None, vector=None, topn=10):
     """Top-`topn` cosine neighbors of `node` (or a raw `vector`).
 
     `embeddings`: the models' `get_embeddings()` dict, or a
-    `(names, [V, D] matrix)` pair. Returns [(name, score), ...] in
-    descending cosine similarity, excluding the query node itself.
+    `(names, [V, D] matrix)` pair — pass the PAIR for repeated
+    queries at scale (the dict form rebuilds the matrix per call;
+    the pair form reuses it, and the jitted device scorer is cached
+    across calls). Returns [(name, score), ...] in descending cosine
+    similarity, excluding the query node itself.
     """
     if (node is None) == (vector is None):
         raise ValueError("pass exactly one of node= or vector=")
@@ -59,17 +84,7 @@ def most_similar(embeddings, node=None, vector=None, topn=10):
 
     k = min(topn + (1 if qi >= 0 else 0), table.shape[0])
     if table.shape[0] >= _DEVICE_MIN_ROWS:
-        import jax
-        import jax.numpy as jnp
-
-        @jax.jit
-        def _score(tab, q, denom):
-            sims = (tab @ q) / denom
-            return jax.lax.top_k(sims, k)
-
-        vals, idx = _score(
-            jnp.asarray(table), jnp.asarray(q), jnp.asarray(denom)
-        )
+        vals, idx = _device_score(table, q, denom, k)
         vals, idx = np.asarray(vals), np.asarray(idx)
     else:
         sims = (table @ q) / denom
@@ -85,7 +100,10 @@ def most_similar(embeddings, node=None, vector=None, topn=10):
 def similarity(embeddings, a, b):
     """Cosine similarity between two nodes (gensim `wv.similarity`)."""
     names, table = _as_table(embeddings)
-    ia, ib = names.index(a), names.index(b)
+    try:
+        ia, ib = names.index(a), names.index(b)
+    except ValueError as e:  # match most_similar's (and gensim's)
+        raise KeyError(str(e)) from None
     va, vb = table[ia], table[ib]
     return float(
         va @ vb

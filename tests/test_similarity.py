@@ -53,14 +53,7 @@ def test_most_similar_matrix_input_and_errors():
 
 
 def test_most_similar_device_path_matches_numpy():
-    import importlib
-
-    # the package re-exports the `similarity` FUNCTION under the same
-    # name as this module, shadowing attribute access — go through
-    # the module registry
-    simmod = importlib.import_module(
-        "graphembedding_tpu.utils.similarity"
-    )
+    from graphembedding_tpu.utils import simquery as simmod
 
     rng = np.random.default_rng(1)
     V, D = 512, 16
