@@ -78,7 +78,19 @@ def _labels_from_file(path) -> Dict[str, List[str]]:
     # row (its examples pass skip_head=True); auto-detect it so
     # load_dataset works on the real mount files unmodified
     with open(path) as f:
-        first = f.readline().split()
+        head = f.readline()
+    if "," in head:
+        # the public BlogCatalog dump's group-edges.csv: one
+        # `node,group` row per membership (multi-label accumulates)
+        out: Dict[str, List[str]] = {}
+        with open(path) as f:
+            for line in f:
+                parts = line.strip().split(",")
+                if len(parts) < 2 or parts[0].lower() == "node":
+                    continue
+                out.setdefault(parts[0], []).append(parts[1])
+        return out
+    first = head.split()
     skip = bool(first) and first[0].lower() == "node"
     X, Y = read_node_label(path, skip_head=skip)
     return dict(zip(X, Y))

@@ -230,12 +230,15 @@ class Graph:
     def from_edgelist(
         cls, path: str, *, directed: bool = True, weighted: bool = False
     ) -> "Graph":
-        """Load a whitespace edgelist file (`src dst [weight]` per line)."""
+        """Load an edgelist file (`src dst [weight]` per line).
+
+        Whitespace- or comma-separated (the public BlogCatalog dump
+        named in BASELINE ships `edges.csv` as `node,node` rows)."""
         vocab = Vocab()
         srcs, dsts, ws = [], [], []
         with open(path) as f:
             for line in f:
-                parts = line.split()
+                parts = line.replace(",", " ").split()
                 if not parts or parts[0].startswith("#"):
                     continue
                 u, v = parts[0], parts[1]

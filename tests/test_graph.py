@@ -81,3 +81,21 @@ def test_undirected_self_loop_not_duplicated():
     np.testing.assert_array_equal(np.sort(g.neighbors(1)), [2])
     np.testing.assert_array_equal(g.neighbors(0), [0])
     assert g.num_edges == 3  # loop once + (1,2) both ways
+
+
+def test_from_edgelist_csv_and_csv_labels(tmp_path):
+    """The public BlogCatalog dump is CSV (`node,node` edges and
+    `node,group` multi-label rows) — both readers must accept it
+    the day the mount populates."""
+    e = tmp_path / "edges.csv"
+    e.write_text("1,2\n2,3\n3,1\n")
+    g = Graph.from_edgelist(str(e), directed=False)
+    assert g.num_nodes == 3 and g.num_edges == 6  # symmetrized
+
+    from graphembedding_tpu.data.datasets import _labels_from_file
+
+    lab = tmp_path / "group-edges.csv"
+    lab.write_text("1,5\n1,7\n2,5\n3,9\n")
+    d = _labels_from_file(str(lab))
+    assert d["1"] == ["5", "7"]  # multi-label accumulates
+    assert d["2"] == ["5"] and d["3"] == ["9"]
