@@ -306,7 +306,47 @@ def measure_cpu_baseline(max_seconds=20.0):
     return n_pairs / (time.time() - t0)
 
 
+def _preflight(timeout_s=300):
+    """Fail FAST (and loudly) if the shared TPU tunnel is down.
+
+    Device enumeration normally returns in seconds; during the
+    2026-08-20 outage it blocked INDEFINITELY inside the backend's C
+    layer (uninterruptible by SIGALRM — verified) and then raised
+    UNAVAILABLE, which would hang the driver's bench step. The probe
+    therefore runs in a SUBPROCESS with a hard timeout, turning the
+    hang into a quick, diagnosable nonzero exit (no JSON line is
+    printed — the driver contract gets silence, not a fake number).
+    Skippable via GE_TPU_SKIP_PREFLIGHT=1.
+    """
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("GE_TPU_SKIP_PREFLIGHT"):
+        return
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+        ok = r.returncode == 0 and "ok" in r.stdout
+        detail = (r.stderr or "")[-300:]
+    except subprocess.TimeoutExpired:
+        ok = False
+        detail = f"jax.devices() did not return within {timeout_s}s"
+    if not ok:
+        print(
+            "bench preflight failed — TPU backend unavailable "
+            f"({detail}); see RESULTS.md round-4 outage note for the "
+            "last verified numbers",
+            file=sys.stderr,
+        )
+        raise SystemExit(3)
+
+
 def main():
+    _preflight()
     walk_eps, pairs_per_s, micro_f1, dense_s, dense_f1 = measure_tpu()
     baseline = measure_cpu_baseline()
     # off-path walk kernels + the 1M-node figure: soft-fail so the
