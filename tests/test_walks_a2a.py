@@ -388,3 +388,49 @@ def test_a2a_engine_deterministic():
     np.testing.assert_array_equal(a, b)
     c, _ = w.run(jax.random.PRNGKey(8))
     assert not np.array_equal(a, c)
+
+
+@pytest.mark.parametrize("seed", range(5))
+@pytest.mark.parametrize("method", ["cumsum", "sort"])
+def test_bucket_by_dest_fuzz_vs_numpy(seed, method):
+    """Property check against an independent numpy reference: every
+    crosser is either bucketed to its destination exactly once or
+    held; buckets never mix destinations; capacities are respected;
+    per-destination order of sent rows preserves index order."""
+    rng = np.random.default_rng(seed)
+    cap = int(rng.integers(4, 200))
+    vp = int(rng.integers(2, 9))
+    n = int(rng.integers(2, 9))
+    bcap = int(rng.integers(1, 6))
+    send_cap = int(rng.integers(1, cap + 1))
+    v = rng.integers(-1, vp * n, cap).astype(np.int32)
+    w = rng.integers(-1, 1000, cap).astype(np.int32)
+    t = rng.integers(0, 50, cap).astype(np.int32)
+    sbuf, sent = bucket_by_dest(
+        jnp.asarray(v), jnp.asarray(w), jnp.asarray(t), vp, n, bcap,
+        send_cap=send_cap, method=method,
+    )
+    sbuf = np.asarray(sbuf).reshape(n, bcap, 3)
+    sent = np.asarray(sent)
+
+    # numpy reference: first-by-index under send_cap, then per-dest
+    # first-by-index under bcap
+    is_x = (w >= 0) & (v >= 0)
+    exp_sent = np.zeros(cap, bool)
+    exp_buckets = {d: [] for d in range(n)}
+    n_cand = 0
+    for i in range(cap):
+        if not is_x[i] or n_cand >= send_cap:
+            continue
+        n_cand += 1
+        d = v[i] // vp
+        if len(exp_buckets[d]) < bcap:
+            exp_buckets[d].append((v[i], w[i], t[i]))
+            exp_sent[i] = True
+    np.testing.assert_array_equal(sent, exp_sent)
+    for d in range(n):
+        rows = [tuple(r) for r in sbuf[d] if r[1] >= 0]
+        assert rows == exp_buckets[d], (d, rows, exp_buckets[d])
+        # padding rows are fully -1
+        for r in sbuf[d][len(rows):]:
+            assert tuple(r) == (-1, -1, -1)
