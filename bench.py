@@ -364,7 +364,10 @@ def main():
             "validated; RESULTS.md r4 — scatter latency hides under "
             "more rows in flight); rowshard over a real slice is the "
             "path further: per-shard scatter ranges shrink V/n per "
-            "chip"
+            "chip — MEASURED, not projected: scatter-add cost is "
+            "98 ns/row at a 1M-row table vs 37 ns at the 125k rows an "
+            "8-way shard owns, gather flat ~14 ns at any V "
+            "(benchmarks/rowcost_vs_V_r04.jsonl)"
         )
     except Exception as e:  # pragma: no cover - defensive
         extra["million_node_pairs_per_s"] = f"unavailable ({e})"
