@@ -29,6 +29,14 @@ bias (the distributed-walk engine in parallel/walks.py shows that
 pattern); at D=128 and ICI bandwidths the gathered form stays
 comm-light for meshes up to pod-slice size, and XLA overlaps the
 all_gather with the preceding step's compute.
+
+Sizing rule (measured, round 4): keep each owner's shard under ~350k
+rows — scatter-add cost cliffs 54→97 ns/row between 350k and 375k
+table rows (row-count-keyed, dtype-invariant, not dodgeable by
+single-chip chunking/folding; benchmarks/rowcost_vs_V_r04.jsonl and
+docs/DESIGN.md), so an n-way rowshard whose V/n sits below the cliff
+recovers a measured ~2.7x per-chip scatter cost on top of the n-way
+row parallelism (e.g. V=1M over 8 devices → 125k rows at 37 ns/row).
 """
 
 from __future__ import annotations
