@@ -364,10 +364,13 @@ def main():
             "validated; RESULTS.md r4 — scatter latency hides under "
             "more rows in flight); rowshard over a real slice is the "
             "path further: per-shard scatter ranges shrink V/n per "
-            "chip — MEASURED, not projected: scatter-add cost is "
-            "98 ns/row at a 1M-row table vs 37 ns at the 125k rows an "
-            "8-way shard owns, gather flat ~14 ns at any V "
-            "(benchmarks/rowcost_vs_V_r04.jsonl)"
+            "chip — component costs measured (98 ns/row at a 1M-row "
+            "table vs 37 ns at the 125k rows an 8-way shard owns, "
+            "gather flat ~14 ns at any V; "
+            "benchmarks/rowcost_vs_V_r04.jsonl), sharded-program "
+            "composition pending a real multi-chip rowshard run (the "
+            "recovery assumes each chip's program scatters only into "
+            "its own V/n range)"
         )
     except Exception as e:  # pragma: no cover - defensive
         extra["million_node_pairs_per_s"] = f"unavailable ({e})"

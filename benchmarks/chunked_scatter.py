@@ -34,7 +34,11 @@ def measure(v=1_000_000, c=256, n_rows=45_696, k=4, padfactor=1.25,
     import jax.numpy as jnp
 
     key = jax.random.PRNGKey(0)
-    chunk_rows = v // k
+    # ceil so ids in the v % k tail still map to a real chunk with a
+    # correct local index (ADVICE r4: floor folded the tail into the
+    # last chunk's bucket with a wrong local row); the last chunk is
+    # simply partially used.
+    chunk_rows = -(-v // k)
     cap = int(padfactor * n_rows / k)
     grads = jax.random.uniform(jax.random.fold_in(key, 1),
                                (n_rows, c), jnp.float32)
