@@ -55,6 +55,15 @@ def _load():
             ctypes.POINTER(ctypes.c_double),  # out_dist
             ctypes.POINTER(ctypes.c_int64),  # out_nlayers
             ctypes.c_int64,  # n_threads
+            ctypes.c_int32,  # dtw_mode: 0 exact, 1 fastdtw r=1
+        ]
+        _LIB.fastdtw_rle.restype = ctypes.c_double
+        _LIB.fastdtw_rle.argtypes = [
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64,
+            ctypes.c_int64,  # radius
         ]
     return _LIB
 
@@ -85,14 +94,17 @@ def native_build_row_alias(row_ptr, weights):
 
 
 def native_struc2vec_distances(row_ptr, col_idx, pairs_u, pairs_v,
-                               max_layers, workers=1):
+                               max_layers, workers=1,
+                               dtw_mode="fastdtw"):
     """Cumulative struc2vec DTW distances for (u, v) pairs — C++ path.
 
     CSR must be the symmetrized adjacency. Returns
     (dist [n_pairs, max_layers] float64, -1 padded; n_layers [n_pairs]).
     `workers`: threads for the per-root BFS and per-pair DTW loops
     (the reference's `workers=N` joblib role); 0 -> all hardware
-    threads.
+    threads. `dtw_mode`: 'fastdtw' (radius-1 approximation — what the
+    reference actually computes, O(n) per pair) or 'exact' (O(nm)
+    oracle).
     """
     if not workers:
         workers = os.cpu_count() or 1
@@ -115,8 +127,25 @@ def native_struc2vec_distances(row_ptr, col_idx, pairs_u, pairs_v,
         dist.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         nlay.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         ctypes.c_int64(int(workers)),
+        ctypes.c_int32(1 if dtw_mode == "fastdtw" else 0),
     )
     return dist, nlay
+
+
+def native_fastdtw(seq_a, seq_b, radius=1) -> float:
+    """fastdtw (struc2vec RLE cost) — C++ path; oracle: native_dtw."""
+    lib = _load()
+    a = np.ascontiguousarray(seq_a, dtype=np.float64)
+    b = np.ascontiguousarray(seq_b, dtype=np.float64)
+    return float(
+        lib.fastdtw_rle(
+            a.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            ctypes.c_int64(a.shape[0]),
+            b.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            ctypes.c_int64(b.shape[0]),
+            ctypes.c_int64(int(radius)),
+        )
+    )
 
 
 def native_dtw(seq_a, seq_b, opt1=True) -> float:

@@ -136,9 +136,152 @@ double dtw_rle_pairs(const double* a, int64_t na2, const double* b,
   return prev[m];
 }
 
+// ---------------------------------------------------------------------------
+// fastdtw (Salvador & Chan 2007) over RLE (degree, count) sequences — the
+// approximation the reference ACTUALLY computes
+// (`ge/models/struc2vec.py — fastdtw(..., radius=1, dist=cost_max) [U]`).
+// Recursion: componentwise half-reduction (odd tail dropped, matching the
+// pip package's __reduce_by_half), solve coarse, expand the coarse warp
+// path by `radius` and double it into a per-row window, solve fine DTW
+// constrained to the window. O(max(n, m) * radius) per level.
+// ---------------------------------------------------------------------------
+
+struct Band {
+  int64_t lo, hi;  // inclusive 1-based j range for one row
+};
+
+double cost_rle(double ad, double ac, double bd, double bc) {
+  const double mx = std::max(ad, bd);
+  const double mn = std::max(std::min(ad, bd), 1e-12);
+  return (mx / mn - 1.0) * std::max(ac, bc);
+}
+
+// DTW restricted to per-row windows; optionally emits the warp path.
+double dtw_windowed(const double* a, int64_t n, const double* b, int64_t m,
+                    const std::vector<Band>& band,
+                    std::vector<std::pair<int64_t, int64_t>>* path_out) {
+  const double INF = 1e300;
+  std::vector<std::vector<double>> vals(n + 1);
+  std::vector<Band> bd(n + 1);
+  bd[0] = {0, 0};
+  vals[0] = {0.0};
+  auto get = [&](int64_t i, int64_t j) -> double {
+    if (i < 0 || j < bd[i].lo || j > bd[i].hi) return INF;
+    return vals[i][j - bd[i].lo];
+  };
+  for (int64_t i = 1; i <= n; ++i) {
+    bd[i] = band[i - 1];
+    vals[i].assign(bd[i].hi - bd[i].lo + 1, INF);
+    const double ad = a[2 * (i - 1)], ac = a[2 * (i - 1) + 1];
+    for (int64_t j = std::max<int64_t>(bd[i].lo, 1); j <= bd[i].hi; ++j) {
+      const double best = std::min(
+          get(i - 1, j), std::min(get(i, j - 1), get(i - 1, j - 1)));
+      if (best < INF)
+        vals[i][j - bd[i].lo] =
+            cost_rle(ad, ac, b[2 * (j - 1)], b[2 * (j - 1) + 1]) + best;
+    }
+  }
+  const double res = get(n, m);
+  if (path_out) {
+    path_out->clear();
+    int64_t i = n, j = m;
+    while (i >= 1 && j >= 1) {
+      path_out->push_back({i, j});
+      if (i == 1 && j == 1) break;
+      const double d0 = get(i - 1, j - 1);
+      const double d1 = get(i - 1, j);
+      const double d2 = get(i, j - 1);
+      if (d0 <= d1 && d0 <= d2) {
+        --i;
+        --j;
+      } else if (d1 <= d2) {
+        --i;
+      } else {
+        --j;
+      }
+    }
+    std::reverse(path_out->begin(), path_out->end());
+  }
+  return res;
+}
+
+double fastdtw_rec(const std::vector<double>& a, const std::vector<double>& b,
+                   int64_t radius,
+                   std::vector<std::pair<int64_t, int64_t>>* path_out) {
+  const int64_t n = static_cast<int64_t>(a.size()) / 2;
+  const int64_t m = static_cast<int64_t>(b.size()) / 2;
+  if (n == 0 || m == 0) return 0.0;
+  if (n <= radius + 2 || m <= radius + 2) {
+    std::vector<Band> full(n, Band{1, m});
+    return dtw_windowed(a.data(), n, b.data(), m, full, path_out);
+  }
+  std::vector<double> ha, hb;
+  ha.reserve(n);
+  hb.reserve(m);
+  for (int64_t i = 0; i + 1 < n; i += 2) {
+    ha.push_back((a[2 * i] + a[2 * i + 2]) / 2.0);
+    ha.push_back((a[2 * i + 1] + a[2 * i + 3]) / 2.0);
+  }
+  for (int64_t j = 0; j + 1 < m; j += 2) {
+    hb.push_back((b[2 * j] + b[2 * j + 2]) / 2.0);
+    hb.push_back((b[2 * j + 1] + b[2 * j + 3]) / 2.0);
+  }
+  std::vector<std::pair<int64_t, int64_t>> cpath;
+  fastdtw_rec(ha, hb, radius, &cpath);
+  // coarse path (+radius) -> per-coarse-row j ranges -> doubled fine bands
+  const int64_t cn = static_cast<int64_t>(ha.size()) / 2;
+  const int64_t cm = static_cast<int64_t>(hb.size()) / 2;
+  std::vector<Band> coarse(cn, Band{1, 0});  // empty
+  for (const auto& ij : cpath) {
+    const int64_t rlo = std::max<int64_t>(ij.first - radius, 1);
+    const int64_t rhi = std::min<int64_t>(ij.first + radius, cn);
+    for (int64_t i = rlo; i <= rhi; ++i) {
+      Band& c = coarse[i - 1];
+      const int64_t jlo = std::max<int64_t>(ij.second - radius, 1);
+      const int64_t jhi = std::min<int64_t>(ij.second + radius, cm);
+      if (c.lo > c.hi) {
+        c = {jlo, jhi};
+      } else {
+        c.lo = std::min(c.lo, jlo);
+        c.hi = std::max(c.hi, jhi);
+      }
+    }
+  }
+  std::vector<Band> band(n);
+  for (int64_t i = 1; i <= n; ++i) {
+    const int64_t ci = std::min((i + 1) / 2, cn);  // owning coarse row
+    const Band& c = coarse[ci - 1];
+    band[i - 1] = {std::max<int64_t>(2 * c.lo - 1, 1),
+                   std::min<int64_t>(2 * c.hi, m)};
+  }
+  // repair connectivity the odd-tail drop / rounding can break:
+  // row 1 reachable from (0,0); (n, m) reachable; consecutive rows
+  // overlap enough for the {down, right, diag} moves. Widening only.
+  band[0].lo = 1;
+  band[n - 1].hi = m;
+  for (int64_t i = 1; i < n; ++i) {
+    if (band[i].lo > band[i - 1].hi + 1) band[i].lo = band[i - 1].hi + 1;
+    if (band[i].hi < band[i - 1].hi) band[i].hi = band[i - 1].hi;
+  }
+  return dtw_windowed(a.data(), n, b.data(), m, band, path_out);
+}
+
+double fastdtw_rle_pairs(const double* a, int64_t na2, const double* b,
+                         int64_t nb2, int64_t radius) {
+  std::vector<double> av(a, a + na2), bv(b, b + nb2);
+  return fastdtw_rec(av, bv, radius, nullptr);
+}
+
 }  // namespace
 
 extern "C" {
+
+// fastdtw (radius r) over flattened RLE (degree, count) pairs — the
+// struc2vec cost; standalone export for oracle tests against dtw_rle.
+double fastdtw_rle(const double* a, int64_t na2, const double* b,
+                   int64_t nb2, int64_t radius) {
+  return fastdtw_rle_pairs(a, na2, b, nb2, radius);
+}
 
 // Compute cumulative struc2vec distances for `n_pairs` (u, v) pairs.
 // CSR must be the SYMMETRIZED adjacency. Writes, for each pair, the
@@ -148,11 +291,14 @@ extern "C" {
 // n_threads: worker threads for the (independent) per-root BFS and
 // per-pair DTW loops; <= 1 runs single-threaded. This is where the
 // reference's `workers=N` lands (its joblib pool did the same job).
+// dtw_mode: 0 = exact O(nm) DP; 1 = fastdtw radius=1 (the reference's
+// actual computation — `fastdtw(..., radius=1) [U]`; O(n) banded).
 void struc2vec_distances(const int64_t* row_ptr, const int64_t* col_idx,
                          int64_t num_nodes, const int64_t* pu,
                          const int64_t* pv, int64_t n_pairs,
                          int64_t max_layers, double* out_dist,
-                         int64_t* out_nlayers, int64_t n_threads) {
+                         int64_t* out_nlayers, int64_t n_threads,
+                         int32_t dtw_mode) {
   // degrees
   std::vector<int64_t> deg(num_nodes);
   for (int64_t v = 0; v < num_nodes; ++v)
@@ -227,10 +373,18 @@ void struc2vec_distances(const int64_t* row_ptr, const int64_t* col_idx,
       out_nlayers[p] = common;
       double acc = 0.0;
       for (int64_t k = 0; k < common; ++k) {
-        acc += dtw_rle_pairs(lu[k].data(),
-                             static_cast<int64_t>(lu[k].size()),
-                             lv[k].data(),
-                             static_cast<int64_t>(lv[k].size()));
+        const double d =
+            dtw_mode == 1
+                ? fastdtw_rle_pairs(lu[k].data(),
+                                    static_cast<int64_t>(lu[k].size()),
+                                    lv[k].data(),
+                                    static_cast<int64_t>(lv[k].size()),
+                                    /*radius=*/1)
+                : dtw_rle_pairs(lu[k].data(),
+                                static_cast<int64_t>(lu[k].size()),
+                                lv[k].data(),
+                                static_cast<int64_t>(lv[k].size()));
+        acc += d;
         out_dist[p * max_layers + k] = acc;
       }
     }

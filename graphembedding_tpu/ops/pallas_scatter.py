@@ -255,13 +255,16 @@ def _split_bf16(x, split):
     return hi, lo
 
 
+_VT = 512  # V-tile width: deeper MXU contractions, fewer dot issues
+
+
 def _gather_mm_kernel(ids_ref, tbl_ref, out_ref, *, v_tiles, split):
     ids = ids_ref[:]  # [B, 1] int32
-    cols = jax.lax.broadcasted_iota(jnp.int32, (ids.shape[0], 128), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (ids.shape[0], _VT), 1)
     acc = jnp.zeros((ids.shape[0], out_ref.shape[1]), jnp.float32)
     for vt in range(v_tiles):
-        onehot = (ids == (cols + vt * 128)).astype(jnp.bfloat16)
-        tile = tbl_ref[pl.ds(vt * 128, 128), :]
+        onehot = (ids - vt * _VT == cols).astype(jnp.bfloat16)
+        tile = tbl_ref[pl.ds(vt * _VT, _VT), :]
         for pln in range(split):
             plane = (tile if split == 1
                      else _split_bf16(tile.astype(jnp.float32), 2)[pln])
@@ -283,7 +286,7 @@ def gather_rows_matmul(table, ids, *, block=2048, split=2,
     """
     v, c = table.shape
     n = ids.shape[0]
-    v_pad = _round_up(v, 128)
+    v_pad = _round_up(v, _VT)
     n_pad = _round_up(n, block)
     tbl = table if v_pad == v else jnp.zeros(
         (v_pad, c), table.dtype).at[:v].set(table)
@@ -291,7 +294,7 @@ def gather_rows_matmul(table, ids, *, block=2048, split=2,
         ids.astype(jnp.int32))
 
     out = pl.pallas_call(
-        partial(_gather_mm_kernel, v_tiles=v_pad // 128, split=split),
+        partial(_gather_mm_kernel, v_tiles=v_pad // _VT, split=split),
         grid_spec=pl.GridSpec(
             grid=(n_pad // block,),
             in_specs=[
@@ -318,17 +321,17 @@ def _scatter_mm_kernel(ids_ref, grads_ref, _tbl_in, out_ref, acc,
         acc[:] = jnp.zeros_like(acc)
 
     ids = ids_ref[:]  # [B, 1]
-    cols = jax.lax.broadcasted_iota(jnp.int32, (ids.shape[0], 128), 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (ids.shape[0], _VT), 1)
     planes = _split_bf16(grads_ref[:].astype(jnp.float32), split)
     for vt in range(v_tiles):
-        onehot = (ids == (cols + vt * 128)).astype(jnp.bfloat16)
-        upd = jnp.zeros((128, acc.shape[1]), jnp.float32)
+        onehot = (ids - vt * _VT == cols).astype(jnp.bfloat16)
+        upd = jnp.zeros((_VT, acc.shape[1]), jnp.float32)
         for plane in planes:
             upd = upd + jax.lax.dot_general(
                 onehot, plane,
-                (((0,), (0,)), ((), ())),  # [B,128]^T @ [B,C]
+                (((0,), (0,)), ((), ())),  # [B,VT]^T @ [B,C]
                 preferred_element_type=jnp.float32)
-        acc[pl.ds(vt * 128, 128), :] += upd
+        acc[pl.ds(vt * _VT, _VT), :] += upd
 
     @pl.when(g == last_g)
     def _emit():
@@ -347,14 +350,14 @@ def scatter_add_matmul(table, ids, grads, *, block=2048, split=2,
     """
     v, c = table.shape
     n = ids.shape[0]
-    v_pad = _round_up(v, 128)
+    v_pad = _round_up(v, _VT)
     n_pad = _round_up(n, block)
     tbl = table if v_pad == v else jnp.zeros(
         (v_pad, c), table.dtype).at[:v].set(table)
     # padding positions get id v (a padded accumulator row, dropped)
     pad_id = v if v_pad > v else v_pad  # v_pad == v: grow by one tile
     if v_pad == v:
-        v_pad += 128
+        v_pad += _VT
         tbl = jnp.zeros((v_pad, c), table.dtype).at[:v].set(tbl)
     ids_p = jnp.full((n_pad, 1), pad_id, jnp.int32).at[:n, 0].set(
         ids.astype(jnp.int32))
@@ -362,7 +365,7 @@ def scatter_add_matmul(table, ids, grads, *, block=2048, split=2,
 
     grid = n_pad // block
     out = pl.pallas_call(
-        partial(_scatter_mm_kernel, v_tiles=v_pad // 128, split=split,
+        partial(_scatter_mm_kernel, v_tiles=v_pad // _VT, split=split,
                 last_g=grid - 1),
         grid_spec=pl.GridSpec(
             grid=(grid,),

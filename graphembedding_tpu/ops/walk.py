@@ -44,11 +44,13 @@ def _safe(cur):
     return jnp.maximum(cur, 0)
 
 
-def csr_contains(row_ptr, col_idx, degree, rows, values, *, max_degree):
-    """Vectorized membership test: is `values[b]` in row `rows[b]`?
+def csr_find(row_ptr, col_idx, degree, rows, values, *, max_degree):
+    """Vectorized lookup: position of `values[b]` in CSR row `rows[b]`.
 
     Binary search over the sorted columns of each CSR row, fixed
     `ceil(log2(max_degree)) + 1` iterations. rows must be valid (>= 0).
+    Returns (found bool, idx i32) where `idx` is the global CSR slot
+    of the match (valid only where found).
     """
     lo = row_ptr[rows]
     hi = lo + degree[rows]
@@ -68,6 +70,13 @@ def csr_contains(row_ptr, col_idx, degree, rows, values, *, max_degree):
     found = (lo < row_ptr[rows] + degree[rows]) & (
         col_idx[jnp.minimum(lo, col_idx.shape[0] - 1)] == values
     )
+    return found, lo
+
+
+def csr_contains(row_ptr, col_idx, degree, rows, values, *, max_degree):
+    """Vectorized membership test: is `values[b]` in row `rows[b]`?"""
+    found, _ = csr_find(row_ptr, col_idx, degree, rows, values,
+                        max_degree=max_degree)
     return found
 
 
@@ -237,7 +246,7 @@ def node2vec_walks(
 
 
 @partial(jax.jit, static_argnames=("length", "max_degree", "max_tries",
-                                   "proposals"))
+                                   "proposals", "envelope"))
 def node2vec_walks_rejection(
     row_ptr,
     col_idx,
@@ -253,13 +262,39 @@ def node2vec_walks_rejection(
     max_degree,
     max_tries=32,
     proposals=8,
+    edge_weight=None,
+    wsum=None,
+    envelope=True,
 ):
     """Rejection-sampling (p,q) walks (reference `node2vec_walk2 [U]`).
 
     Proposal: weighted first-order draw from N(cur) via alias tables.
-    Accept with prob factor(y)/ub, factor in {1/p, 1, 1/q} by the class of
-    y w.r.t. prev, ub = max of the three. Bounded retries; on overflow the
-    last proposal is accepted (bias ~ (1 - 1/ub·min_accept)^max_tries).
+    Accept with prob factor(y)/envelope(y), factor in {1/p, 1, 1/q} by
+    the class of y w.r.t. prev. Bounded retries; on overflow the last
+    proposal is accepted.
+
+    ``envelope=True`` (round 5) tightens the proposal with the
+    prev-point mixture: the only class whose mass is KNOWN without an
+    intersection is {prev} (its weight is the cur->prev edge weight, a
+    single `csr_find`), so propose prev explicitly with the excess
+    mass a = max(1/p - beta, 0) * w_prev (beta = max(1, 1/q)) and
+    everything else from the plain alias draw at envelope beta. The
+    per-class acceptance becomes {prev: 1, shared: 1/beta, other:
+    (1/q)/beta} — i.e. min(q, 1/q, 1) worst-case, INDEPENDENT of p.
+    At the canonical strong bias (p=.25, q=4) the old ub = max(1/p,
+    1, 1/q) = 4 form accepted "other" proposals at 1/16; the envelope
+    form accepts at 1/4 — a measured ~3x throughput recovery in the
+    proposal-bound regime (benchmarks/pq_crossover_r05.jsonl).
+    ``envelope=False`` keeps the round-4 ub form (test oracle).
+
+    ``edge_weight``/``wsum`` (f32 [E_pad] / [V]) feed the prev-mass
+    lookup; None means unweighted (w=1, wsum=degree) — callers with
+    weighted graphs must pass both or the mixture is mis-weighted.
+
+    Bias note: on retry overflow (all `max_tries` rejected) the last
+    proposal stands; envelope acceptance being >= the ub form's, the
+    overflow probability only shrinks (canonical bias: 0.75^32 ~ 1e-4
+    vs (15/16)^32 ~ 13%).
 
     Round-4 structure (mirrors the distributed rejection engine):
     each retry round draws `proposals` i.i.d. candidates per walker and
@@ -277,6 +312,10 @@ def node2vec_walks_rejection(
     inv_p = jnp.float32(1.0 / p)
     inv_q = jnp.float32(1.0 / q)
     ub = jnp.maximum(jnp.maximum(inv_p, 1.0), inv_q)
+    beta = jnp.maximum(1.0, inv_q)
+    a_coef = jnp.maximum(inv_p - beta, 0.0)
+    if wsum is None:
+        wsum = degree.astype(jnp.float32)
     Pp = max(int(proposals), 1)
     n_rounds = -(-int(max_tries) // Pp)
 
@@ -299,13 +338,37 @@ def node2vec_walks_rejection(
         degb = jnp.broadcast_to(jnp.maximum(deg, 1)[:, None], (B, Pp))
         prevb = jnp.broadcast_to(_safe(prev)[:, None], (B, Pp))
 
+        if envelope:
+            # prev-point mixture mass: a = max(1/p - beta, 0) * w_prev,
+            # w_prev = weight of the cur->prev edge (0 if absent, e.g.
+            # directed graphs) — one csr_find per walker per step
+            pfound, ppos = csr_find(
+                row_ptr, col_idx, degree, safe, _safe(prev),
+                max_degree=max_degree)
+            pfound = pfound & (prev >= 0)
+            if edge_weight is None:
+                w_prev = pfound.astype(jnp.float32)
+            else:
+                w_prev = jnp.where(
+                    pfound,
+                    edge_weight[jnp.minimum(
+                        ppos, edge_weight.shape[0] - 1)],
+                    0.0)
+            a = a_coef * w_prev
+            denom = a + beta * wsum[safe]
+            p_point = a / jnp.maximum(denom, 1e-30)  # [B]
+
         def round_body(state):
             done, y, kk, r = state
-            kk, kp1, kp2, ka = jax.random.split(kk, 4)
+            kk, kp1, kp2, ka, km = jax.random.split(kk, 5)
             u1 = jax.random.uniform(kp1, (B, Pp))
             u2 = jax.random.uniform(kp2, (B, Pp))
             slot = alias_draw(accept, alias, offs, degb, u1, u2)
             cand = col_idx[offs + slot]  # [B, Pp]
+            if envelope:
+                take_point = (jax.random.uniform(km, (B, Pp))
+                              < p_point[:, None])
+                cand = jnp.where(take_point, prevb, cand)
             is_prev = cand == prev[:, None]
             in_prev = csr_contains(
                 row_ptr, col_idx, degree, prevb, cand,
@@ -313,7 +376,11 @@ def node2vec_walks_rejection(
             )
             factor = jnp.where(is_prev, inv_p,
                                jnp.where(in_prev, 1.0, inv_q))
-            acc = jax.random.uniform(ka, (B, Pp)) < factor / ub
+            if envelope:
+                env = beta + jnp.where(is_prev, a_coef, 0.0)
+            else:
+                env = ub
+            acc = jax.random.uniform(ka, (B, Pp)) < factor / env
             # first accepted proposal this round; if none accepted,
             # keep the LAST proposal as the overflow fallback
             first = jnp.argmax(acc, axis=1)
@@ -438,10 +505,17 @@ def simulate_walks(
             )
         if use_rejection_sampling:
             at = graph.alias
+            # per-node weight sums for the prev-envelope mixture:
+            # cumsum + row_ptr boundary gathers (no scatter)
+            csum = jnp.concatenate([
+                jnp.zeros((1,), jnp.float32),
+                jnp.cumsum(dg.edge_weight)])
+            wsum = (csum[dg.row_ptr[1:]] - csum[dg.row_ptr[:-1]])
             return node2vec_walks_rejection(
                 dg.row_ptr, dg.col_idx, dg.degree, at.accept, at.alias,
                 starts, key, jnp.float32(p), jnp.float32(q),
                 length=walk_length, max_degree=max(dg.max_degree, 1),
+                edge_weight=dg.edge_weight, wsum=wsum,
             )
         nm = graph.neighbor_matrix
         return node2vec_walks(

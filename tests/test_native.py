@@ -101,3 +101,58 @@ def test_context_graph_build_at_5k_nodes():
     # generous ceiling: this took minutes-to-forever with the Python
     # containers; the vectorized+C++ path should be well under 60 s
     assert dt < 60.0, f"5k-node context build took {dt:.1f}s"
+
+
+def test_native_fastdtw_matches_python_and_bounds_exact():
+    # C++ fastdtw == Python fallback mirror; both >= exact DTW (banded
+    # windows can only overestimate), and == exact for short sequences
+    # (base case IS exact)
+    import numpy as np
+    from graphembedding_tpu import native
+    from graphembedding_tpu.models import struc2vec as s2v
+
+    rng = np.random.default_rng(3)
+    for _ in range(50):
+        def mk():
+            degs = np.unique(np.sort(rng.integers(1, 40, size=rng.integers(1, 30))))
+            cnt = rng.integers(1, 10, size=degs.shape[0])
+            return np.stack([degs, cnt], 1).astype(np.float64)
+        a, b = mk(), mk()
+        c = native.native_fastdtw(a.ravel(), b.ravel(), 1)
+        p = s2v._fastdtw(a, b, 1)
+        e = s2v._dtw(a, b, opt1=True)
+        assert abs(c - p) <= 1e-6 * max(1.0, abs(c))
+        assert c >= e - 1e-9
+        if a.shape[0] <= 3 or b.shape[0] <= 3:
+            assert abs(c - e) <= 1e-9
+
+
+def test_struc2vec_distances_dtw_modes():
+    # the batch pipeline honors dtw_mode; fastdtw >= exact cumulative
+    import numpy as np
+    from graphembedding_tpu import native
+
+    # small random graph CSR (symmetrized by construction: a cycle + chords)
+    V = 40
+    rng = np.random.default_rng(4)
+    edges = {(i, (i + 1) % V) for i in range(V)}
+    for _ in range(40):
+        a, b = rng.integers(0, V, 2)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    u = np.array([e[0] for e in edges] + [e[1] for e in edges])
+    v = np.array([e[1] for e in edges] + [e[0] for e in edges])
+    key = np.unique(u.astype(np.int64) * V + v)
+    us, cs = key // V, key % V
+    deg = np.bincount(us, minlength=V)
+    rp = np.zeros(V + 1, dtype=np.int64)
+    np.cumsum(deg, out=rp[1:])
+    pu = np.arange(0, V - 1, dtype=np.int64)
+    pv = pu + 1
+    d_ex, nl_ex = native.native_struc2vec_distances(
+        rp, cs, pu, pv, 6, workers=2, dtw_mode="exact")
+    d_fa, nl_fa = native.native_struc2vec_distances(
+        rp, cs, pu, pv, 6, workers=2, dtw_mode="fastdtw")
+    np.testing.assert_array_equal(nl_ex, nl_fa)
+    valid = d_ex >= 0
+    assert np.all(d_fa[valid] >= d_ex[valid] - 1e-9)

@@ -213,3 +213,60 @@ def test_select_pq_kernel_heuristic():
     m2 = Node2Vec(g, walk_length=4, num_walks=2,
                   use_rejection_sampling=True)
     assert m2.use_rejection_sampling is True
+
+
+@pytest.mark.parametrize("p,q", [(4.0, 1.0), (0.25, 4.0)])
+def test_node2vec_rejection_envelope_weighted(p, q):
+    # weighted triangle-with-tail: the prev-envelope mixture needs the
+    # cur->prev edge weight and per-row weight sums; wrong wiring would
+    # skew exactly these conditionals (round-5 envelope sampler)
+    src = np.array([0, 1, 2, 2])
+    dst = np.array([1, 2, 0, 3])
+    w = np.array([3.0, 1.0, 2.0, 0.5], dtype=np.float32)
+    g = Graph(src, dst, w, directed=False)
+    dg = g.device
+    at = g.alias
+    import jax.numpy as jnp
+    csum = jnp.concatenate(
+        [jnp.zeros((1,), jnp.float32), jnp.cumsum(dg.edge_weight)])
+    wsum = csum[dg.row_ptr[1:]] - csum[dg.row_ptr[:-1]]
+    n = 60000
+    starts = jax.numpy.full((n,), 0, dtype=jax.numpy.int32)
+    walks = np.asarray(
+        node2vec_walks_rejection(
+            dg.row_ptr, dg.col_idx, dg.degree, at.accept, at.alias,
+            starts, jax.random.PRNGKey(7), p, q,
+            length=3, max_degree=dg.max_degree,
+            edge_weight=dg.edge_weight, wsum=wsum)
+    )
+    for mid in [1, 2]:
+        sel = walks[walks[:, 1] == mid]
+        if len(sel) < 1000:
+            continue
+        nbrs, target = exact_pq_second_step_dist(g, 0, mid, p, q)
+        freq = np.bincount(sel[:, 2], minlength=g.num_nodes)[nbrs]
+        freq = freq / freq.sum()
+        np.testing.assert_allclose(freq, target, atol=0.03)
+
+
+def test_node2vec_rejection_envelope_matches_ub_form():
+    # the round-4 ub form is the oracle: same graph, same (p,q), both
+    # forms must land on the same conditional distribution
+    g = triangle_with_tail()
+    dg = g.device
+    at = g.alias
+    n = 60000
+    p, q = 0.25, 4.0
+    starts = jax.numpy.full((n,), 0, dtype=jax.numpy.int32)
+    freqs = {}
+    for env in (False, True):
+        walks = np.asarray(
+            node2vec_walks_rejection(
+                dg.row_ptr, dg.col_idx, dg.degree, at.accept, at.alias,
+                starts, jax.random.PRNGKey(8), p, q,
+                length=3, max_degree=dg.max_degree, envelope=env)
+        )
+        sel = walks[walks[:, 1] == 1]
+        f = np.bincount(sel[:, 2], minlength=g.num_nodes).astype(float)
+        freqs[env] = f / f.sum()
+    np.testing.assert_allclose(freqs[True], freqs[False], atol=0.03)
