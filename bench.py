@@ -266,6 +266,103 @@ def measure_million(n_rep=3):
     return round(best_pairs / best)
 
 
+def measure_model_families(n_rep=2):
+    """LINE / SDNE / Struc2Vec driver-visible throughput + quality.
+
+    VERDICT r4 next-3: the driver line covered SGNS/walks only — a
+    planted 2x slowdown in LINE's step, SDNE's epoch, or struc2vec's
+    preprocessing was invisible. These figures make each family's hot
+    loop move a driver-recorded number: LINE samples/s (second order,
+    canonical batch), SDNE rows/s (dense full-batch AND sparse mode),
+    struc2vec e2e seconds split preprocess/walk/train
+    (flight-synthetic scale). Reference counterparts:
+    `ge/models/{line,sdne,struc2vec}.py [U]`.
+    """
+    import time as _t
+
+    import numpy as np
+
+    from graphembedding_tpu.data import load_dataset
+    from graphembedding_tpu.eval.classify import Classifier
+    from graphembedding_tpu.models import LINE, SDNE, Struc2Vec
+
+    def f1(ds, emb):
+        return Classifier(emb).split_train_evaluate(
+            ds.X, ds.Y, 0.8, seed=0)["micro"]
+
+    out = {}
+    ds = load_dataset("wiki")
+    g = ds.graph
+    V, E = g.num_nodes, g.num_edges
+
+    # LINE second order: timed epochs AFTER a compile-warming run.
+    # train() dispatches async — sync by pulling an embedding scalar
+    # (the skill-documented float(sum) pattern) before reading clocks.
+    batch, epochs = 1024, 80
+    n_steps = max(int(round(epochs * E / batch)), 1)
+    best = float("inf")
+    m = None
+    for r in range(n_rep + 1):
+        m = LINE(g, embedding_size=128, order="second", seed=r)
+        t0 = _t.time()
+        m.train(batch_size=batch, epochs=epochs)
+        float(m.second_emb.sum())
+        dt = _t.time() - t0
+        if r > 0:  # rep 0 pays compile
+            best = min(best, dt)
+    out["line_samples_per_s"] = round(n_steps * batch / best)
+    out["line_micro_f1"] = round(float(f1(ds, m.get_embeddings())), 4)
+
+    # SDNE dense full-batch rows/s (rows = V per epoch) + sparse mode
+    epochs_s = 20
+    best = float("inf")
+    for r in range(n_rep + 1):
+        s = SDNE(g, hidden_size=[256, 128], seed=r)
+        t0 = _t.time()
+        s.train(batch_size=V, epochs=epochs_s)
+        dt = _t.time() - t0
+        if r > 0:
+            best = min(best, dt)
+    out["sdne_dense_rows_per_s"] = round(V * epochs_s / best)
+    out["sdne_micro_f1"] = round(float(f1(ds, s.get_embeddings())), 4)
+    best = float("inf")
+    for r in range(n_rep + 1):
+        s = SDNE(g, hidden_size=[256, 128], seed=r)
+        t0 = _t.time()
+        s.train_sparse(epochs=epochs_s)
+        dt = _t.time() - t0
+        if r > 0:
+            best = min(best, dt)
+    out["sdne_sparse_rows_per_s"] = round(V * epochs_s / best)
+
+    # Struc2Vec e2e on flight-synthetic: preprocess (context graph,
+    # inside __init__ along with walks) / train split
+    import tempfile
+
+    from graphembedding_tpu.data.datasets import synthetic_flight
+
+    fl = synthetic_flight(num_nodes=500, seed=11)
+    with tempfile.TemporaryDirectory() as td:
+        t0 = _t.time()
+        sv = Struc2Vec(fl.graph, walk_length=10, num_walks=80,
+                       temp_path=td, seed=0)
+        t_pre = _t.time() - t0
+        sv.train(embed_size=64, window_size=5, iter=3)  # compile warm
+        t0 = _t.time()
+        sv.train(embed_size=64, window_size=5, iter=3)
+        t_train = _t.time() - t0
+    out["struc2vec_preprocess_s"] = round(t_pre, 3)
+    out["struc2vec_train_s"] = round(t_train, 3)
+    out["struc2vec_micro_f1"] = round(
+        float(f1(fl, sv.get_embeddings())), 4)
+    out["struc2vec_note"] = (
+        "500-node flight-synthetic, dtw_mode=fastdtw (radius-1, "
+        "reference parity); preprocess includes context graph + "
+        "multilayer walk corpus"
+    )
+    return out
+
+
 def measure_cpu_baseline(max_seconds=20.0):
     """Reference-style numpy SGNS throughput (its delegated-native role).
 
@@ -374,6 +471,10 @@ def main():
         )
     except Exception as e:  # pragma: no cover - defensive
         extra["million_node_pairs_per_s"] = f"unavailable ({e})"
+    try:
+        extra.update(measure_model_families())
+    except Exception as e:  # pragma: no cover - defensive
+        extra["model_families"] = f"unavailable ({e})"
 
     # analytic roofline of the measured step shape (BASELINE's
     # "speed-of-light per chip" evidence). Three bounds
@@ -405,6 +506,24 @@ def main():
         row_meta["row_cost_live_ns"] = {
             "gather": round(g_live, 2), "scatter": round(s_live, 2)
         }
+        # freshness bit (VERDICT r4 next-7): if the live measurement is
+        # within ~1.3x of the vetted constants, the published roofline
+        # pct still reflects this device; else keep the pct (stable
+        # run-to-run by design) but FLAG the constants as stale so the
+        # headline carries its own shelf life
+        from graphembedding_tpu.utils.profiling import Roofline
+
+        vetted_g = Roofline.gather_ns_per_row
+        vetted_s = Roofline.scatter_ns_per_row
+        drift = max(g_live / vetted_g, vetted_g / g_live,
+                    s_live / vetted_s, vetted_s / s_live)
+        if drift <= 1.3:
+            row_meta["row_cost_source"] = (
+                "re-vetted live this run (within 1.3x of "
+                "benchmarks/row_issue.py constants)")
+        else:
+            row_meta["constants_stale"] = True
+            row_meta["constants_drift_x"] = round(drift, 2)
     except Exception as e:
         row_meta["row_cost_live_ns"] = f"unavailable ({e})"
     roof = sgns_roofline(

@@ -210,6 +210,31 @@ def synthetic_flight(
     return Dataset("flight-synthetic", graph, labels, synthetic=True)
 
 
+def synthetic_flight_hard(num_nodes: int = 200, seed: int = 11,
+                          flip: float = 0.35) -> Dataset:
+    """Structural-role variant near its discriminative band (VERDICT r4
+    next-5): same BA-style graph and degree-quartile labels as
+    `synthetic_flight`, but a seeded `flip` fraction of nodes carries a
+    RANDOM other label. Degree-derived labels are exactly what a role
+    embedding nails, so the clean task saturates (~0.95 on 200 nodes);
+    the flips cap the ceiling near (1-flip)*acc + flip*chance ~ 0.65,
+    restoring a band where a quality regression moves the score. (An
+    octile variant was tried first and rejected: BA degree ties make
+    octile bins degenerate — 40% of nodes share one bin.)"""
+    base = synthetic_flight(num_nodes=num_nodes, seed=seed)
+    deg = base.graph.degree
+    quart = np.searchsorted(
+        np.quantile(deg, [0.25, 0.5, 0.75]), deg, side="right"
+    )
+    rng = np.random.default_rng(seed + 1)
+    flip_mask = rng.random(num_nodes) < flip
+    offs = rng.integers(1, 4, size=num_nodes)
+    noisy = np.where(flip_mask, (quart + offs) % 4, quart)
+    labels = {str(i): [str(noisy[i])] for i in range(num_nodes)}
+    return Dataset("flight-synthetic-hard", base.graph, labels,
+                   synthetic=True)
+
+
 def synthetic_blogcatalog(seed: int = 13) -> Dataset:
     """BlogCatalog-scale SBM (10,312 nodes / ~333k edges / 39 classes)."""
     ds = synthetic_wiki(

@@ -661,16 +661,28 @@ class Struc2Vec(WalkEmbeddingModel):
                 length=walk_length,
             )
 
+    # hs='auto' routes to sampled SGNS above this node count: the hs
+    # trainer is tree-depth-bound (~2.3-4.9 M pairs/s at V=1M vs ~60 M
+    # for SGNS — RESULTS.md r4 hs table), a silent ~25x at scale
+    # (VERDICT r4 next-6); below it hs=1 keeps reference parity and its
+    # measured quality edge at reference scale.
+    HS_AUTO_MAX_NODES = 200_000
+
     def train(self, embed_size=128, window_size=5, workers=None, iter=5,
-              hs=1, **kwargs):
-        """Defaults to hs=1 (hierarchical softmax), matching the
-        reference's `Word2Vec(sg=1, hs=1)`: on flight-brazil, hs=1
-        scores micro-F1 0.93 (3-seed mean) vs ~0.70 for SAMPLED SGNS.
-        Round 3 found the gap is sampling noise, not the objective —
+              hs="auto", **kwargs):
+        """hs='auto' (default): hierarchical softmax — the reference's
+        `Word2Vec(sg=1, hs=1)` objective — up to `HS_AUTO_MAX_NODES`
+        nodes, sampled SGNS above (the hs tree walk costs ~25x at
+        V=1M; RESULTS.md r4/r5 tables). Explicit hs=1/hs=0 always wins.
+
+        Why hs at reference scale: on flight-brazil, hs=1 scores
+        micro-F1 0.93 (3-seed mean) vs ~0.70 for SAMPLED SGNS. Round 3
+        found the gap is sampling noise, not the objective —
         `train(hs=0, trainer='dense')` (closed-form EXPECTED SGNS,
         train/dense.py) matches hs=1 exactly (0.9259 3-seed mean) and
-        is faster; hs=1 stays the default for reference parity.
-        Pass hs=0 alone for the sampled negative-sampling trainer."""
+        is faster; hs stays the small-V default for reference parity."""
+        if hs == "auto":
+            hs = 1 if self.graph.num_nodes <= self.HS_AUTO_MAX_NODES else 0
         return self._fit_skipgram(
             embed_size=embed_size,
             window_size=window_size,

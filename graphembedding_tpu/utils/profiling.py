@@ -72,10 +72,31 @@ Where the last 25% lives (round-4 measurements, RESULTS.md):
   gather+scatter streams share HBM row-issue machinery, so the
   sustained stage time is max(t_g, t_s) only if the slower stream
   loses nothing to the faster one — measured sharing efficiency is
-  ~75%, which is exactly where the kernel sits. Closing it would
-  need a hand-scheduled fused gather->compute->scatter kernel with
-  multi-row DMA batching that beats XLA's row issue rate — the one
-  remaining untried lever, recorded as such.
+  ~75%, which is exactly where the kernel sits.
+- ROUND 5 CLOSES THE PALLAS QUESTION (measured, negative). The
+  "untried lever" recorded in rounds 2-4 — a hand-scheduled
+  scatter-accumulate with multi-row DMA batching — was built
+  (ops/pallas_scatter.scatter_add_rows: sorted run-accumulating RMW
+  over aligned 8-row windows, W-slot software DMA pipeline, exact
+  f32) and measured at the step's exact shapes
+  (benchmarks/pallas_scatter_bench.py -> pallas_scatter_r05.jsonl,
+  2026-08-21, same-run A/B): XLA scatter 61/122/126 ns/row at
+  V=125k/500k/1M vs Pallas 170/309/357. The hand pipeline loses
+  ~2.8x EVERYWHERE, and degrades with V (more unique windows = more
+  per-run scalar work). Root cause: every software formulation pays
+  ~150-300 ns of serialized scalar-core work per row/run (branch
+  trees, DMA issue, semaphore ops), while XLA's scatter unit
+  hardware-sequences row updates at 37-98 ns. The one-hot MXU
+  matmul forms (gather_rows_matmul / scatter_add_matmul) were also
+  built and measured at wiki scale: mm(bf16) 41/43 ns/row vs XLA
+  35/43 — parity at best, with a measured dots-only floor of ~36
+  ns/row (the [B,VT]x[VT/B,C] one-hot dot shapes cap MXU efficiency
+  ~10-15%). Conclusion: on this hardware XLA's native row
+  gather/scatter path is the fastest available primitive at every
+  table size; the >350k-row cliff is real but NOT dodgeable from
+  Pallas — the rowshard <350k-rows/chip sizing rule
+  (parallel/rowshard.py) remains the scale path. The kernels stay
+  in-tree as tested oracles and as the recorded experiment.
 
 bench.py measures the per-row constants live on the device
 (`benchmarks.row_issue.measure_row_issue`, clean pre-generated-ids

@@ -144,3 +144,73 @@ def test_deepwalk_hard_sbm_gate():
         scores.append(r["micro"])
     assert min(scores) >= 0.55, scores
     assert sum(scores) / len(scores) >= 0.60, scores
+
+
+# --------------------------------------------------------------------------- #
+# Hard-band quality gates (VERDICT r4 next-5). Calibration:
+# benchmarks/gate_calibration.py -> benchmarks/gate_calibration_r05.json
+# (2026-08-21, CPU backend, 3 seeds + one planted lr regression each):
+#   deepwalk  [0.725, 0.667, 0.650]  planted(alpha x10)  0.000 (NaN)
+#   node2vec  [0.725, 0.633, 0.633]  planted(alpha x10)  0.000 (NaN)
+#   line      [0.642, 0.650, 0.617]  planted(lr x10)     0.000 (NaN)
+#   sdne      [0.508, 0.500, 0.525]  planted(lr -> 0.5)  0.142
+#   struc2vec [0.650, 0.625, 0.675]  planted(alpha x100) 0.000 (NaN)
+# Each gate sits ~0.1 under its healthy floor: a few-point quality
+# regression fails it; the planted regressions fail it catastrophically.
+# The saturated p_in=0.85 smoke tests above stay as fast shape checks.
+# --------------------------------------------------------------------------- #
+
+
+@pytest.fixture(scope="module")
+def hard_sbm():
+    from graphembedding_tpu.data.datasets import synthetic_wiki_hard
+    return synthetic_wiki_hard()
+
+
+def test_node2vec_hard_sbm_gate(hard_sbm):
+    from graphembedding_tpu.models import Node2Vec
+    scores = []
+    for seed in (0, 1):
+        m = Node2Vec(hard_sbm.graph, walk_length=10, num_walks=20,
+                     p=0.25, q=4, seed=seed)
+        m.train(embed_size=64, window_size=5, iter=3)
+        scores.append(microf1(hard_sbm, m.get_embeddings()))
+    assert min(scores) >= 0.53, scores
+    assert sum(scores) / len(scores) >= 0.58, scores
+
+
+def test_line_hard_sbm_gate(hard_sbm):
+    from graphembedding_tpu.models import LINE
+    scores = []
+    for seed in (0, 1):
+        m = LINE(hard_sbm.graph, embedding_size=64, order="second",
+                 seed=seed)
+        m.train(batch_size=1024, epochs=80)
+        scores.append(microf1(hard_sbm, m.get_embeddings()))
+    assert min(scores) >= 0.52, scores
+    assert sum(scores) / len(scores) >= 0.56, scores
+
+
+def test_sdne_hard_sbm_gate(hard_sbm):
+    from graphembedding_tpu.models import SDNE
+    scores = []
+    for seed in (0, 1):
+        m = SDNE(hard_sbm.graph, hidden_size=[128, 64], seed=seed)
+        m.train(batch_size=1024, epochs=150)
+        scores.append(microf1(hard_sbm, m.get_embeddings()))
+    assert min(scores) >= 0.40, scores
+    assert sum(scores) / len(scores) >= 0.45, scores
+
+
+def test_struc2vec_hard_flight_gate(tmp_path):
+    from graphembedding_tpu.data.datasets import synthetic_flight_hard
+    from graphembedding_tpu.models import Struc2Vec
+    ds = synthetic_flight_hard()
+    scores = []
+    for seed in (0, 1):
+        m = Struc2Vec(ds.graph, walk_length=10, num_walks=20,
+                      temp_path=str(tmp_path / f"s{seed}"), seed=seed)
+        m.train(embed_size=32, window_size=3, iter=3)
+        scores.append(microf1(ds, m.get_embeddings()))
+    assert min(scores) >= 0.52, scores
+    assert sum(scores) / len(scores) >= 0.56, scores

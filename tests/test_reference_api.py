@@ -114,7 +114,11 @@ def test_struc2vec_defaults():
     assert t["embed_size"] == 128
     assert t["window_size"] == 5
     assert t["iter"] == 5
-    assert t["hs"] == 1
+    # hs='auto' resolves to the reference's hs=1 objective at
+    # reference scale (<= HS_AUTO_MAX_NODES) and to SGNS above it
+    # (the hs tree walk is ~25x at V=1M — VERDICT r4 next-6)
+    assert t["hs"] == "auto"
+    assert Struc2Vec.HS_AUTO_MAX_NODES >= 100_000
 
 
 def test_walk_family_sgns_deviation_is_pinned():
