@@ -245,8 +245,6 @@ def node2vec_walks(
     return jnp.concatenate(cols, axis=1)
 
 
-@partial(jax.jit, static_argnames=("length", "max_degree", "max_tries",
-                                   "proposals", "envelope"))
 def node2vec_walks_rejection(
     row_ptr,
     col_idx,
@@ -260,7 +258,7 @@ def node2vec_walks_rejection(
     *,
     length,
     max_degree,
-    max_tries=32,
+    max_tries=None,
     proposals=8,
     edge_weight=None,
     wsum=None,
@@ -292,9 +290,15 @@ def node2vec_walks_rejection(
     weighted graphs must pass both or the mixture is mis-weighted.
 
     Bias note: on retry overflow (all `max_tries` rejected) the last
-    proposal stands; envelope acceptance being >= the ub form's, the
-    overflow probability only shrinks (canonical bias: 0.75^32 ~ 1e-4
-    vs (15/16)^32 ~ 13%).
+    proposal stands. ``max_tries=None`` (default) computes the cap
+    from the ANALYTIC per-proposal acceptance floor of the active form
+    (envelope: min(q, 1/q, 1); ub: min over classes of factor/ub),
+    sized for overflow probability <= 1e-3 and clamped to [proposals,
+    64]. This is where the envelope's acceptance gain cashes out: at
+    the canonical strong bias the ub form needed 107 tries for 1e-3
+    overflow (the old fixed 32 ran at ~13% overflow); the envelope
+    form needs 24 — fewer retry rounds AND two orders of magnitude
+    less overflow bias.
 
     Round-4 structure (mirrors the distributed rejection engine):
     each retry round draws `proposals` i.i.d. candidates per walker and
@@ -309,6 +313,41 @@ def node2vec_walks_rejection(
     Dpad=512 — and a wash under strong bias (p=.25, q=4: mean ~16
     proposals needed, so the work is proposal-bound either way).
     """
+    Pp = max(int(proposals), 1)
+    if max_tries is None:
+        # auto: whole retry ROUNDS sized for overflow <= ~2e-3 per hop
+        # from the ANALYTIC per-proposal acceptance floor of the active
+        # form (rounds are the serial unit of cost: each runs Pp
+        # proposals for the whole batch), capped at 64 total tries.
+        # Needs concrete p/q — this wrapper is NOT jitted; the traced
+        # core below is.
+        import math
+
+        fp, fq = float(p), float(q)
+        if envelope:
+            floor = min(fq, 1.0 / fq, 1.0)
+        else:
+            u = max(1.0 / fp, 1.0, 1.0 / fq)
+            floor = min(1.0 / fp, 1.0, 1.0 / fq) / u
+        floor = min(max(floor, 1e-6), 1.0 - 1e-9)
+        rounds = max(1, math.ceil(
+            math.log(2e-3) / (Pp * math.log(1.0 - floor))))
+        max_tries = int(min(rounds * Pp, 64))
+    return _node2vec_rejection_core(
+        row_ptr, col_idx, degree, accept, alias, starts, key,
+        jnp.float32(p), jnp.float32(q), length=length,
+        max_degree=max_degree, max_tries=int(max_tries),
+        proposals=Pp, edge_weight=edge_weight, wsum=wsum,
+        envelope=envelope)
+
+
+@partial(jax.jit, static_argnames=("length", "max_degree", "max_tries",
+                                   "proposals", "envelope"))
+def _node2vec_rejection_core(
+    row_ptr, col_idx, degree, accept, alias, starts, key, p, q, *,
+    length, max_degree, max_tries, proposals, edge_weight, wsum,
+    envelope,
+):
     inv_p = jnp.float32(1.0 / p)
     inv_q = jnp.float32(1.0 / q)
     ub = jnp.maximum(jnp.maximum(inv_p, 1.0), inv_q)
