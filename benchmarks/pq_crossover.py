@@ -82,6 +82,11 @@ def main():
             node2vec_walks_rejection, dg.row_ptr, dg.col_idx,
             dg.degree, at.accept, at.alias, starts,
         )
+        # round 5: dense-membership rejection (nbr-id matrix resident)
+        t_rej_dense = time_kernel(
+            node2vec_walks_rejection, dg.row_ptr, dg.col_idx,
+            dg.degree, at.accept, at.alias, starts, nbr=nm.nbr,
+        )
         edges = B * (args.length - 1)
         row = {
             "max_degree": d,
@@ -93,7 +98,12 @@ def main():
             "rejection_s": round(t_rej, 4),
             "exact_edges_per_s": round(edges / t_exact),
             "rejection_edges_per_s": round(edges / t_rej),
-            "winner": "exact" if t_exact < t_rej else "rejection",
+            "rejection_dense_s": round(t_rej_dense, 4),
+            "rejection_dense_edges_per_s": round(edges / t_rej_dense),
+            "winner": min(
+                (("exact", t_exact), ("rejection", t_rej),
+                 ("rejection_dense", t_rej_dense)),
+                key=lambda kv: kv[1])[0],
             "nbr_matrix_mb": round(
                 args.nodes * int(nm.max_degree) * 8 / 1e6, 1
             ),

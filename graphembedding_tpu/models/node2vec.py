@@ -57,12 +57,10 @@ class Node2Vec(WalkEmbeddingModel):
             n_parts = (
                 mesh.shape.get("data", 1) if mesh is not None else 1
             )
-            use_rejection_sampling = (
-                select_pq_kernel(
-                    self.graph.num_nodes, self.graph.max_degree, p, q,
-                    hbm_budget_bytes=(4 << 30) * n_parts,
-                ) == "rejection"
-            )
+            use_rejection_sampling = select_pq_kernel(
+                self.graph.num_nodes, self.graph.max_degree, p, q,
+                hbm_budget_bytes=(4 << 30) * n_parts,
+            ) in ("rejection", "rejection_dense")
         self.use_rejection_sampling = bool(use_rejection_sampling)
         self.mesh = mesh
         if mesh is not None:

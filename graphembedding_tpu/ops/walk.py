@@ -263,6 +263,7 @@ def node2vec_walks_rejection(
     edge_weight=None,
     wsum=None,
     envelope=True,
+    nbr=None,
 ):
     """Rejection-sampling (p,q) walks (reference `node2vec_walk2 [U]`).
 
@@ -338,7 +339,7 @@ def node2vec_walks_rejection(
         jnp.float32(p), jnp.float32(q), length=length,
         max_degree=max_degree, max_tries=int(max_tries),
         proposals=Pp, edge_weight=edge_weight, wsum=wsum,
-        envelope=envelope)
+        envelope=envelope, nbr=nbr)
 
 
 @partial(jax.jit, static_argnames=("length", "max_degree", "max_tries",
@@ -346,7 +347,7 @@ def node2vec_walks_rejection(
 def _node2vec_rejection_core(
     row_ptr, col_idx, degree, accept, alias, starts, key, p, q, *,
     length, max_degree, max_tries, proposals, edge_weight, wsum,
-    envelope,
+    envelope, nbr,
 ):
     inv_p = jnp.float32(1.0 / p)
     inv_q = jnp.float32(1.0 / q)
@@ -397,6 +398,34 @@ def _node2vec_rejection_core(
             denom = a + beta * wsum[safe]
             p_point = a / jnp.maximum(denom, 1e-30)  # [B]
 
+        if nbr is not None:
+            # dense-membership mode: ONE padded-row gather of prev's
+            # neighbors per STEP, then each round's membership test is
+            # pure VPU compares. The csr mode costs B*Pp*log2(Dmax)
+            # random ELEMENT gathers per ROUND — measured ~70% of the
+            # round at Dpad=2048 (benchmarks/pq_crossover_r05) — the
+            # dense form trades that for V*Dpad*4 bytes of HBM (ids
+            # only, half the exact kernel's footprint).
+            nbr_prev = nbr[_safe(prev)]  # [B, Dpad]
+        else:
+            nbr_prev = None
+
+        def dense_member(cand):
+            # any(cand[b, j] == nbr_prev[b, :]) via chunked compares
+            D = nbr_prev.shape[1]
+            Cc = min(256, D)
+            n_chunks = (D + Cc - 1) // Cc
+
+            def chunk(i, acc):
+                sl = jax.lax.dynamic_slice_in_dim(
+                    nbr_prev, i * Cc, Cc, axis=1)
+                return acc | jnp.any(
+                    cand[:, :, None] == sl[:, None, :], axis=2)
+
+            return jax.lax.fori_loop(
+                0, n_chunks, chunk,
+                jnp.zeros(cand.shape, bool))
+
         def round_body(state):
             done, y, kk, r = state
             kk, kp1, kp2, ka, km = jax.random.split(kk, 5)
@@ -409,10 +438,13 @@ def _node2vec_rejection_core(
                               < p_point[:, None])
                 cand = jnp.where(take_point, prevb, cand)
             is_prev = cand == prev[:, None]
-            in_prev = csr_contains(
-                row_ptr, col_idx, degree, prevb, cand,
-                max_degree=max_degree,
-            )
+            if nbr is not None:
+                in_prev = dense_member(cand)
+            else:
+                in_prev = csr_contains(
+                    row_ptr, col_idx, degree, prevb, cand,
+                    max_degree=max_degree,
+                )
             factor = jnp.where(is_prev, inv_p,
                                jnp.where(in_prev, 1.0, inv_q))
             if envelope:
@@ -493,11 +525,18 @@ def select_pq_kernel(num_nodes, max_degree, p=1.0, q=1.0,
     ub = max(inv_p, 1.0, inv_q)
     worst_accept = min(inv_p, 1.0, inv_q) / ub
     thresh = 384 if worst_accept >= 0.5 else 1536
-    if dpad > thresh:
-        return "rejection"
-    if num_nodes * dpad * 8 > hbm_budget_bytes:
-        return "rejection"
-    return "exact"
+    if dpad <= thresh and num_nodes * dpad * 8 <= hbm_budget_bytes:
+        return "exact"
+    # round 5: past the exact kernel's regime, rejection with DENSE
+    # membership (nbr ids resident, V*Dpad*4 bytes — half the exact
+    # kernel's footprint since weights stay home) replaces the
+    # csr-binary-search membership whose B*Pp*log2(Dmax) random element
+    # gathers dominated the round (~70% at Dpad=2048, measured
+    # benchmarks/pq_crossover_r05.jsonl); csr mode remains the O(1)-
+    # memory fallback
+    if num_nodes * dpad * 4 <= hbm_budget_bytes:
+        return "rejection_dense"
+    return "rejection"
 
 
 def simulate_walks(
@@ -537,12 +576,18 @@ def simulate_walks(
             starts, key, length=walk_length,
         )
     if kind == "node2vec":
+        dpad = ((max(dg.max_degree, 1) + _LANE - 1) // _LANE) * _LANE
         if use_rejection_sampling is None:
-            use_rejection_sampling = (
-                select_pq_kernel(dg.num_nodes, dg.max_degree, p, q)
-                == "rejection"
-            )
-        if use_rejection_sampling:
+            choice = select_pq_kernel(dg.num_nodes, dg.max_degree, p, q)
+        elif not use_rejection_sampling:
+            choice = "exact"
+        else:
+            # explicit rejection (reference flag): still pick the
+            # membership mode by the same memory budget auto uses
+            choice = ("rejection_dense"
+                      if dg.num_nodes * dpad * 4 <= (4 << 30)
+                      else "rejection")
+        if choice in ("rejection", "rejection_dense"):
             at = graph.alias
             # per-node weight sums for the prev-envelope mixture:
             # cumsum + row_ptr boundary gathers (no scatter)
@@ -550,11 +595,13 @@ def simulate_walks(
                 jnp.zeros((1,), jnp.float32),
                 jnp.cumsum(dg.edge_weight)])
             wsum = (csum[dg.row_ptr[1:]] - csum[dg.row_ptr[:-1]])
+            nbr = (graph.neighbor_matrix.nbr
+                   if choice == "rejection_dense" else None)
             return node2vec_walks_rejection(
                 dg.row_ptr, dg.col_idx, dg.degree, at.accept, at.alias,
                 starts, key, jnp.float32(p), jnp.float32(q),
                 length=walk_length, max_degree=max(dg.max_degree, 1),
-                edge_weight=dg.edge_weight, wsum=wsum,
+                edge_weight=dg.edge_weight, wsum=wsum, nbr=nbr,
             )
         nm = graph.neighbor_matrix
         return node2vec_walks(

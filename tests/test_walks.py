@@ -184,21 +184,24 @@ def test_simulate_walks_covers_all_nodes():
 
 def test_select_pq_kernel_heuristic():
     """Auto-selection follows the measured crossover
-    (benchmarks/pq_crossover_r04*.jsonl): exact through Dpad=1024,
-    rejection at Dpad=2048 or when the neighbor matrix exceeds the
-    HBM budget."""
+    (benchmarks/pq_crossover_r04*/r05.jsonl): exact through Dpad=1024,
+    rejection past it — with DENSE membership while the nbr-id matrix
+    fits the HBM budget, csr membership beyond."""
     from graphembedding_tpu.ops.walk import select_pq_kernel
 
     # strong bias (the canonical p=.25, q=4): exact through Dpad=1024
     assert select_pq_kernel(20000, 8, 0.25, 4.0) == "exact"
     assert select_pq_kernel(20000, 512, 0.25, 4.0) == "exact"
     assert select_pq_kernel(20000, 1024, 0.25, 4.0) == "exact"
-    assert select_pq_kernel(20000, 2048, 0.25, 4.0) == "rejection"
+    assert select_pq_kernel(20000, 2048, 0.25, 4.0) == "rejection_dense"
     # mild bias (p=q=1): batched-proposal rejection wins from Dpad=512
     assert select_pq_kernel(20000, 128, 1.0, 1.0) == "exact"
-    assert select_pq_kernel(20000, 512, 1.0, 1.0) == "rejection"
-    # memory gate: 5M nodes x 1152-pad x 8B = 46 GB >> budget
+    assert select_pq_kernel(20000, 512, 1.0, 1.0) == "rejection_dense"
+    # memory gates: 5M x 1152-pad x 8B = 46 GB kills exact; x 4B =
+    # 23 GB also kills dense membership -> csr rejection
     assert select_pq_kernel(5_000_000, 1100, 0.25, 4.0) == "rejection"
+    # dense membership survives where only the weights half overflows
+    assert select_pq_kernel(900_000, 1100, 0.25, 4.0) == "rejection_dense"
     # forced-override plumbing: Node2Vec(use_rejection_sampling=...)
     # keeps the flag; None resolves via the heuristic
     import networkx as nx
@@ -270,3 +273,28 @@ def test_node2vec_rejection_envelope_matches_ub_form():
         f = np.bincount(sel[:, 2], minlength=g.num_nodes).astype(float)
         freqs[env] = f / f.sum()
     np.testing.assert_allclose(freqs[True], freqs[False], atol=0.03)
+
+
+@pytest.mark.parametrize("p,q", [(0.25, 4.0), (2.0, 0.5)])
+def test_node2vec_rejection_dense_membership(p, q):
+    # nbr= dense-membership mode must match the csr mode's distribution
+    g = triangle_with_tail()
+    dg = g.device
+    at = g.alias
+    nm = g.neighbor_matrix
+    n = 40000
+    starts = jax.numpy.full((n,), 0, dtype=jax.numpy.int32)
+    walks = np.asarray(
+        node2vec_walks_rejection(
+            dg.row_ptr, dg.col_idx, dg.degree, at.accept, at.alias,
+            starts, jax.random.PRNGKey(9), p, q,
+            length=3, max_degree=dg.max_degree, nbr=nm.nbr)
+    )
+    for mid in [1, 2]:
+        sel = walks[walks[:, 1] == mid]
+        if len(sel) < 1000:
+            continue
+        nbrs, target = exact_pq_second_step_dist(g, 0, mid, p, q)
+        freq = np.bincount(sel[:, 2], minlength=g.num_nodes)[nbrs]
+        freq = freq / freq.sum()
+        np.testing.assert_allclose(freq, target, atol=0.03)
