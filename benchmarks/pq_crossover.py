@@ -82,10 +82,13 @@ def main():
             node2vec_walks_rejection, dg.row_ptr, dg.col_idx,
             dg.degree, at.accept, at.alias, starts,
         )
-        # round 5: dense-membership rejection (nbr-id matrix resident)
+        # round 5: dense-membership rejection (nbr-id matrix resident;
+        # the bench graphs are unweighted, so the slot-draw proposal
+        # fast path applies — as auto-selection would)
         t_rej_dense = time_kernel(
             node2vec_walks_rejection, dg.row_ptr, dg.col_idx,
             dg.degree, at.accept, at.alias, starts, nbr=nm.nbr,
+            uniform_rows=True,
         )
         edges = B * (args.length - 1)
         row = {

@@ -319,11 +319,19 @@ void struc2vec_distances(const int64_t* row_ptr, const int64_t* col_idx,
   // scale ceiling); uint32 + one allocation per node is ~3-4x smaller
   // (degrees and counts are < 2^32 by construction: bounded by V).
   std::vector<std::vector<uint32_t>> lists(num_nodes);
+  int64_t max_deg = 0;
+  for (int64_t v = 0; v < num_nodes; ++v) max_deg = std::max(max_deg, deg[v]);
   auto bfs_range = [&](int64_t lo, int64_t hi) {
     std::vector<int64_t> frontier, next;
-    std::vector<int64_t> ring_degs;
     std::vector<int64_t> visited(num_nodes, -1);
     std::vector<uint32_t> buf;
+    // ring -> sorted RLE via a degree HISTOGRAM with sparse reset:
+    // O(ring + distinct log distinct) per ring instead of sorting the
+    // whole ring (full-depth rings sum to ~V elements per ROOT, so
+    // std::sort was ~V log V * V total — measured as the dominant cost
+    // of the 100k-node build, not the DTW)
+    std::vector<int64_t> hist(max_deg + 1, 0);
+    std::vector<int64_t> touched;
     for (int64_t root = lo; root < hi; ++root) {
       frontier.assign(1, root);
       visited[root] = root;
@@ -331,22 +339,19 @@ void struc2vec_distances(const int64_t* row_ptr, const int64_t* col_idx,
       uint32_t n_layers = 0;
       for (int64_t layer = 0; layer < max_layers && !frontier.empty();
            ++layer) {
-        ring_degs.clear();
-        for (int64_t v : frontier) ring_degs.push_back(deg[v]);
-        std::sort(ring_degs.begin(), ring_degs.end());
+        touched.clear();
+        for (int64_t v : frontier) {
+          if (hist[deg[v]]++ == 0) touched.push_back(deg[v]);
+        }
+        std::sort(touched.begin(), touched.end());
         const size_t len_slot = buf.size();
         buf.push_back(0);
-        uint32_t n_rle = 0;
-        for (size_t i = 0; i < ring_degs.size();) {
-          size_t j = i;
-          while (j < ring_degs.size() && ring_degs[j] == ring_degs[i])
-            ++j;
-          buf.push_back(static_cast<uint32_t>(ring_degs[i]));
-          buf.push_back(static_cast<uint32_t>(j - i));
-          ++n_rle;
-          i = j;
+        for (int64_t d : touched) {
+          buf.push_back(static_cast<uint32_t>(d));
+          buf.push_back(static_cast<uint32_t>(hist[d]));
+          hist[d] = 0;
         }
-        buf[len_slot] = n_rle;
+        buf[len_slot] = static_cast<uint32_t>(touched.size());
         ++n_layers;
         next.clear();
         for (int64_t v : frontier) {

@@ -264,6 +264,7 @@ def node2vec_walks_rejection(
     wsum=None,
     envelope=True,
     nbr=None,
+    uniform_rows=False,
 ):
     """Rejection-sampling (p,q) walks (reference `node2vec_walk2 [U]`).
 
@@ -339,15 +340,16 @@ def node2vec_walks_rejection(
         jnp.float32(p), jnp.float32(q), length=length,
         max_degree=max_degree, max_tries=int(max_tries),
         proposals=Pp, edge_weight=edge_weight, wsum=wsum,
-        envelope=envelope, nbr=nbr)
+        envelope=envelope, nbr=nbr, uniform_rows=bool(uniform_rows))
 
 
 @partial(jax.jit, static_argnames=("length", "max_degree", "max_tries",
-                                   "proposals", "envelope"))
+                                   "proposals", "envelope",
+                                   "uniform_rows"))
 def _node2vec_rejection_core(
     row_ptr, col_idx, degree, accept, alias, starts, key, p, q, *,
     length, max_degree, max_tries, proposals, edge_weight, wsum,
-    envelope, nbr,
+    envelope, nbr, uniform_rows,
 ):
     inv_p = jnp.float32(1.0 / p)
     inv_q = jnp.float32(1.0 / q)
@@ -409,6 +411,15 @@ def _node2vec_rejection_core(
             nbr_prev = nbr[_safe(prev)]  # [B, Dpad]
         else:
             nbr_prev = None
+        if uniform_rows and nbr is not None:
+            # unweighted graphs: the alias proposal is uniform over the
+            # row, so draw the slot directly and read the candidate
+            # from cur's resident neighbor row — 1 element access per
+            # proposal instead of the alias path's 3 (accept, alias,
+            # col_idx), which dominated the dense round's residual cost
+            nbr_cur = nbr[safe]  # [B, Dpad]
+        else:
+            nbr_cur = None
 
         def dense_member(cand):
             # any(cand[b, j] == nbr_prev[b, :]) via chunked compares
@@ -430,9 +441,15 @@ def _node2vec_rejection_core(
             done, y, kk, r = state
             kk, kp1, kp2, ka, km = jax.random.split(kk, 5)
             u1 = jax.random.uniform(kp1, (B, Pp))
-            u2 = jax.random.uniform(kp2, (B, Pp))
-            slot = alias_draw(accept, alias, offs, degb, u1, u2)
-            cand = col_idx[offs + slot]  # [B, Pp]
+            if nbr_cur is not None:
+                slot = jnp.minimum(
+                    (u1 * degb.astype(jnp.float32)).astype(jnp.int32),
+                    degb - 1)
+                cand = jnp.take_along_axis(nbr_cur, slot, axis=1)
+            else:
+                u2 = jax.random.uniform(kp2, (B, Pp))
+                slot = alias_draw(accept, alias, offs, degb, u1, u2)
+                cand = col_idx[offs + slot]  # [B, Pp]
             if envelope:
                 take_point = (jax.random.uniform(km, (B, Pp))
                               < p_point[:, None])
@@ -521,11 +538,14 @@ def select_pq_kernel(num_nodes, max_degree, p=1.0, q=1.0,
     regardless of speed.
     """
     dpad = ((max(max_degree, 1) + _LANE - 1) // _LANE) * _LANE
-    inv_p, inv_q = 1.0 / max(p, 1e-9), 1.0 / max(q, 1e-9)
-    ub = max(inv_p, 1.0, inv_q)
-    worst_accept = min(inv_p, 1.0, inv_q) / ub
-    thresh = 384 if worst_accept >= 0.5 else 1536
-    if dpad <= thresh and num_nodes * dpad * 8 <= hbm_budget_bytes:
+    # round-5 crossover (pq_crossover_r05*.jsonl, V=20k d-regular, one
+    # v5e): exact wins through Dpad=128 in both bias regimes (3.8-4.0 M
+    # edges/s); from Dpad=512 dense-membership rejection beats it
+    # (0.70 vs 0.60 M at strong bias, 1.20 vs 0.60 M mild) and the gap
+    # widens with Dpad (exact is the Dpad^2 membership). The r4
+    # bias-dependent thresholds collapsed because dense membership
+    # removed the csr-gather cost that made strong-bias rejection slow.
+    if dpad <= 384 and num_nodes * dpad * 8 <= hbm_budget_bytes:
         return "exact"
     # round 5: past the exact kernel's regime, rejection with DENSE
     # membership (nbr ids resident, V*Dpad*4 bytes — half the exact
@@ -597,11 +617,20 @@ def simulate_walks(
             wsum = (csum[dg.row_ptr[1:]] - csum[dg.row_ptr[:-1]])
             nbr = (graph.neighbor_matrix.nbr
                    if choice == "rejection_dense" else None)
+            # unweighted graph + resident nbr rows: slot-draw proposals
+            # (1 element access) replace the alias path (3) — host-side
+            # one-time check on the un-padded weights
+            import numpy as np
+
+            uniform_rows = nbr is not None and bool(
+                np.all(np.asarray(
+                    graph.edge_weight[:graph.num_edges]) == 1.0))
             return node2vec_walks_rejection(
                 dg.row_ptr, dg.col_idx, dg.degree, at.accept, at.alias,
                 starts, key, jnp.float32(p), jnp.float32(q),
                 length=walk_length, max_degree=max(dg.max_degree, 1),
                 edge_weight=dg.edge_weight, wsum=wsum, nbr=nbr,
+                uniform_rows=uniform_rows,
             )
         nm = graph.neighbor_matrix
         return node2vec_walks(

@@ -183,18 +183,18 @@ def test_simulate_walks_covers_all_nodes():
 
 
 def test_select_pq_kernel_heuristic():
-    """Auto-selection follows the measured crossover
-    (benchmarks/pq_crossover_r04*/r05.jsonl): exact through Dpad=1024,
-    rejection past it — with DENSE membership while the nbr-id matrix
-    fits the HBM budget, csr membership beyond."""
+    """Auto-selection follows the measured r05 crossover
+    (benchmarks/pq_crossover_r05*.jsonl): exact through Dpad=384,
+    dense-membership rejection past it (both bias regimes — dense
+    membership removed the csr-gather cost that made the r4 thresholds
+    bias-dependent), csr membership when the nbr-id matrix overflows
+    the HBM budget."""
     from graphembedding_tpu.ops.walk import select_pq_kernel
 
-    # strong bias (the canonical p=.25, q=4): exact through Dpad=1024
     assert select_pq_kernel(20000, 8, 0.25, 4.0) == "exact"
-    assert select_pq_kernel(20000, 512, 0.25, 4.0) == "exact"
-    assert select_pq_kernel(20000, 1024, 0.25, 4.0) == "exact"
+    assert select_pq_kernel(20000, 300, 0.25, 4.0) == "exact"
+    assert select_pq_kernel(20000, 512, 0.25, 4.0) == "rejection_dense"
     assert select_pq_kernel(20000, 2048, 0.25, 4.0) == "rejection_dense"
-    # mild bias (p=q=1): batched-proposal rejection wins from Dpad=512
     assert select_pq_kernel(20000, 128, 1.0, 1.0) == "exact"
     assert select_pq_kernel(20000, 512, 1.0, 1.0) == "rejection_dense"
     # memory gates: 5M x 1152-pad x 8B = 46 GB kills exact; x 4B =
@@ -289,6 +289,33 @@ def test_node2vec_rejection_dense_membership(p, q):
             dg.row_ptr, dg.col_idx, dg.degree, at.accept, at.alias,
             starts, jax.random.PRNGKey(9), p, q,
             length=3, max_degree=dg.max_degree, nbr=nm.nbr)
+    )
+    for mid in [1, 2]:
+        sel = walks[walks[:, 1] == mid]
+        if len(sel) < 1000:
+            continue
+        nbrs, target = exact_pq_second_step_dist(g, 0, mid, p, q)
+        freq = np.bincount(sel[:, 2], minlength=g.num_nodes)[nbrs]
+        freq = freq / freq.sum()
+        np.testing.assert_allclose(freq, target, atol=0.03)
+
+
+@pytest.mark.parametrize("p,q", [(0.25, 4.0), (2.0, 0.5)])
+def test_node2vec_rejection_uniform_rows(p, q):
+    # unweighted fast path (slot-draw proposals from resident nbr rows)
+    # must match the exact conditional law
+    g = triangle_with_tail()
+    dg = g.device
+    at = g.alias
+    nm = g.neighbor_matrix
+    n = 40000
+    starts = jax.numpy.full((n,), 0, dtype=jax.numpy.int32)
+    walks = np.asarray(
+        node2vec_walks_rejection(
+            dg.row_ptr, dg.col_idx, dg.degree, at.accept, at.alias,
+            starts, jax.random.PRNGKey(10), p, q,
+            length=3, max_degree=dg.max_degree, nbr=nm.nbr,
+            uniform_rows=True)
     )
     for mid in [1, 2]:
         sel = walks[walks[:, 1] == mid]
