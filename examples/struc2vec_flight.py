@@ -11,8 +11,15 @@ from graphembedding_tpu.models import Struc2Vec
 
 
 def build_and_train(ds, args):
+    import os
+
+    # dtw_mode: 'fastdtw' (radius-1 — what the reference computes;
+    # default) or 'exact' (the O(nm) oracle); env override keeps the
+    # reference-parity CLI surface untouched
     model = Struc2Vec(ds.graph, walk_length=10, num_walks=80,
-                      workers=4, verbose=40, seed=args.seed)
+                      workers=4, verbose=40, seed=args.seed,
+                      dtw_mode=os.environ.get("GE_TPU_DTW_MODE",
+                                              "fastdtw"))
     trainer = getattr(args, "trainer", "block")
     # the dense expected-SGNS trainer matches hs=1 quality (RESULTS.md)
     # but trains the SGNS objective — switch hs off when selected

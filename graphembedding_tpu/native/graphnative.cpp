@@ -6,6 +6,7 @@
 // struc2vec DTW ground-distance DP. Plain C ABI, consumed via ctypes.
 
 #include <algorithm>
+#include <deque>
 #include <cmath>
 #include <cstdint>
 #include <thread>
@@ -157,27 +158,36 @@ double cost_rle(double ad, double ac, double bd, double bc) {
 }
 
 // DTW restricted to per-row windows; optionally emits the warp path.
+// Scratch is THREAD_LOCAL flat storage reused across calls: the first
+// nested-vector form paid ~n heap allocations per call, and at 3.3M
+// pairs x 9 layers x recursion levels the allocator — not the DP —
+// dominated the 100k-node build.
 double dtw_windowed(const double* a, int64_t n, const double* b, int64_t m,
                     const std::vector<Band>& band,
                     std::vector<std::pair<int64_t, int64_t>>* path_out) {
   const double INF = 1e300;
-  std::vector<std::vector<double>> vals(n + 1);
-  std::vector<Band> bd(n + 1);
-  bd[0] = {0, 0};
-  vals[0] = {0.0};
+  thread_local std::vector<double> vals;   // rows packed back to back
+  thread_local std::vector<int64_t> off;   // row i values start
+  thread_local std::vector<Band> bd;
+  bd.assign(1, Band{0, 0});
+  bd.insert(bd.end(), band.begin(), band.end());
+  off.assign(n + 2, 0);
+  off[1] = 1;
+  for (int64_t i = 1; i <= n; ++i)
+    off[i + 1] = off[i] + (bd[i].hi - bd[i].lo + 1);
+  vals.assign(off[n + 1], INF);
+  vals[0] = 0.0;
   auto get = [&](int64_t i, int64_t j) -> double {
     if (i < 0 || j < bd[i].lo || j > bd[i].hi) return INF;
-    return vals[i][j - bd[i].lo];
+    return vals[off[i] + (j - bd[i].lo)];
   };
   for (int64_t i = 1; i <= n; ++i) {
-    bd[i] = band[i - 1];
-    vals[i].assign(bd[i].hi - bd[i].lo + 1, INF);
     const double ad = a[2 * (i - 1)], ac = a[2 * (i - 1) + 1];
     for (int64_t j = std::max<int64_t>(bd[i].lo, 1); j <= bd[i].hi; ++j) {
       const double best = std::min(
           get(i - 1, j), std::min(get(i, j - 1), get(i - 1, j - 1)));
       if (best < INF)
-        vals[i][j - bd[i].lo] =
+        vals[off[i] + (j - bd[i].lo)] =
             cost_rle(ad, ac, b[2 * (j - 1)], b[2 * (j - 1) + 1]) + best;
     }
   }
@@ -205,38 +215,50 @@ double dtw_windowed(const double* a, int64_t n, const double* b, int64_t m,
   return res;
 }
 
-double fastdtw_rec(const std::vector<double>& a, const std::vector<double>& b,
-                   int64_t radius,
-                   std::vector<std::pair<int64_t, int64_t>>* path_out) {
-  const int64_t n = static_cast<int64_t>(a.size()) / 2;
-  const int64_t m = static_cast<int64_t>(b.size()) / 2;
-  if (n == 0 || m == 0) return 0.0;
-  if (n <= radius + 2 || m <= radius + 2) {
-    std::vector<Band> full(n, Band{1, m});
-    return dtw_windowed(a.data(), n, b.data(), m, full, path_out);
-  }
+// Per-recursion-level scratch reused across ALL calls on a thread:
+// the naive form allocated ~5 vectors per level per call, and at 3.3M
+// pairs x 9 layers the allocator dominated the whole 100k-node build.
+struct FastDtwScratch {
   std::vector<double> ha, hb;
-  ha.reserve(n);
-  hb.reserve(m);
-  for (int64_t i = 0; i + 1 < n; i += 2) {
-    ha.push_back((a[2 * i] + a[2 * i + 2]) / 2.0);
-    ha.push_back((a[2 * i + 1] + a[2 * i + 3]) / 2.0);
-  }
-  for (int64_t j = 0; j + 1 < m; j += 2) {
-    hb.push_back((b[2 * j] + b[2 * j + 2]) / 2.0);
-    hb.push_back((b[2 * j + 1] + b[2 * j + 3]) / 2.0);
-  }
   std::vector<std::pair<int64_t, int64_t>> cpath;
-  fastdtw_rec(ha, hb, radius, &cpath);
+  std::vector<Band> coarse, band;
+};
+
+double fastdtw_rec(const double* a, int64_t n, const double* b, int64_t m,
+                   int64_t radius,
+                   std::vector<std::pair<int64_t, int64_t>>* path_out,
+                   int depth) {
+  if (n == 0 || m == 0) return 0.0;
+  // deque: growth by a DEEPER recursive call must not invalidate this
+  // frame's reference (vector::resize would)
+  thread_local std::deque<FastDtwScratch> pool;
+  while (static_cast<int>(pool.size()) <= depth) pool.emplace_back();
+  FastDtwScratch& S = pool[depth];
+  if (n <= radius + 2 || m <= radius + 2) {
+    S.band.assign(n, Band{1, m});
+    return dtw_windowed(a, n, b, m, S.band, path_out);
+  }
+  S.ha.clear();
+  S.hb.clear();
+  for (int64_t i = 0; 2 * i + 1 < n; ++i) {
+    S.ha.push_back((a[4 * i] + a[4 * i + 2]) / 2.0);
+    S.ha.push_back((a[4 * i + 1] + a[4 * i + 3]) / 2.0);
+  }
+  for (int64_t j = 0; 2 * j + 1 < m; ++j) {
+    S.hb.push_back((b[4 * j] + b[4 * j + 2]) / 2.0);
+    S.hb.push_back((b[4 * j + 1] + b[4 * j + 3]) / 2.0);
+  }
+  const int64_t cn = static_cast<int64_t>(S.ha.size()) / 2;
+  const int64_t cm = static_cast<int64_t>(S.hb.size()) / 2;
+  fastdtw_rec(S.ha.data(), cn, S.hb.data(), cm, radius, &S.cpath,
+              depth + 1);
   // coarse path (+radius) -> per-coarse-row j ranges -> doubled fine bands
-  const int64_t cn = static_cast<int64_t>(ha.size()) / 2;
-  const int64_t cm = static_cast<int64_t>(hb.size()) / 2;
-  std::vector<Band> coarse(cn, Band{1, 0});  // empty
-  for (const auto& ij : cpath) {
+  S.coarse.assign(cn, Band{cm + 1, 0});  // empty
+  for (const auto& ij : S.cpath) {
     const int64_t rlo = std::max<int64_t>(ij.first - radius, 1);
     const int64_t rhi = std::min<int64_t>(ij.first + radius, cn);
     for (int64_t i = rlo; i <= rhi; ++i) {
-      Band& c = coarse[i - 1];
+      Band& c = S.coarse[i - 1];
       const int64_t jlo = std::max<int64_t>(ij.second - radius, 1);
       const int64_t jhi = std::min<int64_t>(ij.second + radius, cm);
       if (c.lo > c.hi) {
@@ -247,29 +269,29 @@ double fastdtw_rec(const std::vector<double>& a, const std::vector<double>& b,
       }
     }
   }
-  std::vector<Band> band(n);
+  S.band.resize(n);
   for (int64_t i = 1; i <= n; ++i) {
     const int64_t ci = std::min((i + 1) / 2, cn);  // owning coarse row
-    const Band& c = coarse[ci - 1];
-    band[i - 1] = {std::max<int64_t>(2 * c.lo - 1, 1),
-                   std::min<int64_t>(2 * c.hi, m)};
+    const Band& c = S.coarse[ci - 1];
+    S.band[i - 1] = {std::max<int64_t>(2 * c.lo - 1, 1),
+                     std::min<int64_t>(2 * c.hi, m)};
   }
   // repair connectivity the odd-tail drop / rounding can break:
   // row 1 reachable from (0,0); (n, m) reachable; consecutive rows
   // overlap enough for the {down, right, diag} moves. Widening only.
-  band[0].lo = 1;
-  band[n - 1].hi = m;
+  S.band[0].lo = 1;
+  S.band[n - 1].hi = m;
   for (int64_t i = 1; i < n; ++i) {
-    if (band[i].lo > band[i - 1].hi + 1) band[i].lo = band[i - 1].hi + 1;
-    if (band[i].hi < band[i - 1].hi) band[i].hi = band[i - 1].hi;
+    if (S.band[i].lo > S.band[i - 1].hi + 1)
+      S.band[i].lo = S.band[i - 1].hi + 1;
+    if (S.band[i].hi < S.band[i - 1].hi) S.band[i].hi = S.band[i - 1].hi;
   }
-  return dtw_windowed(a.data(), n, b.data(), m, band, path_out);
+  return dtw_windowed(a, n, b, m, S.band, path_out);
 }
 
 double fastdtw_rle_pairs(const double* a, int64_t na2, const double* b,
                          int64_t nb2, int64_t radius) {
-  std::vector<double> av(a, a + na2), bv(b, b + nb2);
-  return fastdtw_rec(av, bv, radius, nullptr);
+  return fastdtw_rec(a, na2 / 2, b, nb2 / 2, radius, nullptr, 0);
 }
 
 }  // namespace
