@@ -56,6 +56,7 @@ def _load():
             ctypes.POINTER(ctypes.c_int64),  # out_nlayers
             ctypes.c_int64,  # n_threads
             ctypes.c_int32,  # dtw_mode: 0 exact, 1 fastdtw r=1
+            ctypes.c_double,  # early_stop cumulative-distance cutoff
         ]
         _LIB.fastdtw_rle.restype = ctypes.c_double
         _LIB.fastdtw_rle.argtypes = [
@@ -95,7 +96,7 @@ def native_build_row_alias(row_ptr, weights):
 
 def native_struc2vec_distances(row_ptr, col_idx, pairs_u, pairs_v,
                                max_layers, workers=1,
-                               dtw_mode="fastdtw"):
+                               dtw_mode="fastdtw", early_stop=35.0):
     """Cumulative struc2vec DTW distances for (u, v) pairs — C++ path.
 
     CSR must be the symmetrized adjacency. Returns
@@ -104,7 +105,10 @@ def native_struc2vec_distances(row_ptr, col_idx, pairs_u, pairs_v,
     (the reference's `workers=N` joblib role); 0 -> all hardware
     threads. `dtw_mode`: 'fastdtw' (radius-1 approximation — what the
     reference actually computes, O(n) per pair) or 'exact' (O(nm)
-    oracle).
+    oracle). `early_stop`: stop a pair's cumulative layer loop once
+    the distance passes this value — the context-edge weights exp(-f)
+    are below f32 resolution well before the default 35, so dropped
+    deep-layer edges carry numerically-zero weight; 0 disables.
     """
     if not workers:
         workers = os.cpu_count() or 1
@@ -128,6 +132,7 @@ def native_struc2vec_distances(row_ptr, col_idx, pairs_u, pairs_v,
         nlay.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         ctypes.c_int64(int(workers)),
         ctypes.c_int32(1 if dtw_mode == "fastdtw" else 0),
+        ctypes.c_double(float(early_stop)),
     )
     return dist, nlay
 

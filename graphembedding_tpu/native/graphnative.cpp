@@ -315,12 +315,17 @@ double fastdtw_rle(const double* a, int64_t na2, const double* b,
 // reference's `workers=N` lands (its joblib pool did the same job).
 // dtw_mode: 0 = exact O(nm) DP; 1 = fastdtw radius=1 (the reference's
 // actual computation — `fastdtw(..., radius=1) [U]`; O(n) banded).
+// early_stop: stop a pair's (cumulative, non-decreasing) layer loop
+// once acc >= early_stop — its context-edge weights exp(-f) are
+// already below f32 resolution for every deeper layer, and the deep
+// layers are exactly where rings are big and DTW expensive. <= 0
+// disables.
 void struc2vec_distances(const int64_t* row_ptr, const int64_t* col_idx,
                          int64_t num_nodes, const int64_t* pu,
                          const int64_t* pv, int64_t n_pairs,
                          int64_t max_layers, double* out_dist,
                          int64_t* out_nlayers, int64_t n_threads,
-                         int32_t dtw_mode) {
+                         int32_t dtw_mode, double early_stop) {
   // degrees
   std::vector<int64_t> deg(num_nodes);
   for (int64_t v = 0; v < num_nodes; ++v)
@@ -421,6 +426,10 @@ void struc2vec_distances(const int64_t* row_ptr, const int64_t* col_idx,
       const uint32_t* cu = au + 1;
       const uint32_t* cv = av + 1;
       for (int64_t k = 0; k < common; ++k) {
+        if (early_stop > 0.0 && acc >= early_stop) {
+          out_nlayers[p] = k;
+          break;
+        }
         const int64_t nu2 = 2 * static_cast<int64_t>(*cu++);
         const int64_t nv2 = 2 * static_cast<int64_t>(*cv++);
         sa.assign(cu, cu + nu2);
