@@ -81,9 +81,11 @@ def _dtw(seq_a, seq_b, opt1=True):
     opt1 sequences are (degree, count) pairs with cost
     (max/min - 1) * max(count_a, count_b) (reference `cost_max [U]`);
     plain sequences use max/min - 1 (reference `cost [U]`).
-    Exact O(nm) DP — the reference uses fastdtw radius=1 (an
-    approximation); sequences here are RLE-compressed and short, so exact
-    is both cheaper and strictly more faithful to the defined distance.
+    Exact O(nm) DP — the ORACLE for `dtw_mode='exact'`. The default
+    pipeline mode is `_fastdtw` below (radius-1, what the reference
+    actually computes and O(n) per pair — round-5 measurement: deep-
+    ring RLE sequences reach hundreds of distinct degrees, where the
+    exact DP is 1.5x+ slower at scale).
     """
     if opt1:
         a_deg, a_cnt = seq_a[:, 0], seq_a[:, 1]
@@ -255,7 +257,8 @@ def _similar_degree_pairs(degree, num_nodes):
 
 
 def build_context_graph(graph, max_layers=None, opt1=True, opt2=True,
-                        workers=1, dtw_mode="fastdtw"):
+                        workers=1, dtw_mode="fastdtw",
+                        dtw_early_stop=35.0):
     """Structural distances -> per-layer edge lists with weights exp(-f_k).
 
     Returns (layer_edges, num_layers) where layer_edges[k] is an array
@@ -355,7 +358,7 @@ def build_context_graph(graph, max_layers=None, opt1=True, opt2=True,
             try:
                 dist_c, nlay_c = native_fn(
                     row_ptr, col_idx, pu_c, pv_c, ml, workers=workers,
-                    dtw_mode=dtw_mode,
+                    dtw_mode=dtw_mode, early_stop=dtw_early_stop,
                 )
             except Exception:
                 native_fn = None  # degrade loudly, then fall back
@@ -372,12 +375,17 @@ def build_context_graph(graph, max_layers=None, opt1=True, opt2=True,
                 lv = degree_lists[pv_c[i]]
                 common = min(len(lu), len(lv), ml)
                 acc = 0.0
+                used = 0
                 for k in range(common):
+                    if dtw_early_stop and acc >= dtw_early_stop:
+                        break
                     if dtw_mode == "fastdtw" and opt1:
                         acc += _fastdtw(lu[k], lv[k])
                     else:
                         acc += _dtw(lu[k], lv[k], opt1=opt1)
                     dist_c[i, k] = acc
+                    used = k + 1
+                common = used
                 nlay_c[i] = common
         k_max = int(nlay_c.max()) if hi > lo else 0
         n_layers_used = max(n_layers_used, k_max)
@@ -583,6 +591,7 @@ class Struc2Vec(WalkEmbeddingModel):
         seed=0,
         mesh=None,
         dtw_mode="fastdtw",
+        dtw_early_stop=35.0,
     ):
         # opt3_num_layers: the reference's layer cap — ALSO the scale
         # lever: deep BFS rings of a small-world graph contain most
@@ -603,7 +612,7 @@ class Struc2Vec(WalkEmbeddingModel):
             h.update(self.graph.col_idx.tobytes())
             h.update(
                 f"{opt1_reduce_len}-{opt2_reduce_sim_calc}-"
-                f"{opt3_num_layers}-{dtw_mode}".encode()
+                f"{opt3_num_layers}-{dtw_mode}-{dtw_early_stop}".encode()
             )
             cache_file = os.path.join(
                 temp_path, f"context_{h.hexdigest()[:16]}.pkl"
@@ -620,6 +629,7 @@ class Struc2Vec(WalkEmbeddingModel):
                 opt2=opt2_reduce_sim_calc,
                 workers=workers,
                 dtw_mode=dtw_mode,
+                dtw_early_stop=dtw_early_stop,
             )
             layers = build_layer_csr(layer_edges, self.graph.num_nodes)
             if cache_file:

@@ -315,23 +315,29 @@ def node2vec_walks_rejection(
     Dpad=512 — and a wash under strong bias (p=.25, q=4: mean ~16
     proposals needed, so the work is proposal-bound either way).
     """
-    Pp = max(int(proposals), 1)
-    if max_tries is None:
-        # auto: whole retry ROUNDS sized for overflow <= ~2e-3 per hop
-        # from the ANALYTIC per-proposal acceptance floor of the active
-        # form (rounds are the serial unit of cost: each runs Pp
-        # proposals for the whole batch), capped at 64 total tries.
-        # Needs concrete p/q — this wrapper is NOT jitted; the traced
-        # core below is.
-        import math
+    # auto-size the proposal batch and retry budget from the active
+    # form's ANALYTIC per-proposal acceptance floor, targeting overflow
+    # <= ~2e-3 per hop. Preference order: ONE round wide enough to
+    # cover the budget (measured fastest at the strong-bias Dpad=2048
+    # corner: Pp=24 single-round 1.11 M edges/s vs Pp=8 three-round
+    # 0.74 M — r5 Pp sweep), else more rounds, capped at 64 total
+    # tries. Needs concrete p/q — this wrapper is NOT jitted; the
+    # traced core below is.
+    import math
 
-        fp, fq = float(p), float(q)
-        if envelope:
-            floor = min(fq, 1.0 / fq, 1.0)
-        else:
-            u = max(1.0 / fp, 1.0, 1.0 / fq)
-            floor = min(1.0 / fp, 1.0, 1.0 / fq) / u
-        floor = min(max(floor, 1e-6), 1.0 - 1e-9)
+    fp, fq = float(p), float(q)
+    if envelope:
+        floor = min(fq, 1.0 / fq, 1.0)
+    else:
+        u = max(1.0 / fp, 1.0, 1.0 / fq)
+        floor = min(1.0 / fp, 1.0, 1.0 / fq) / u
+    floor = min(max(floor, 1e-6), 1.0 - 1e-9)
+    need = max(1, math.ceil(math.log(2e-3) / math.log(1.0 - floor)))
+    if proposals is None:
+        Pp = int(min(max(need, 8), 32))
+    else:
+        Pp = max(int(proposals), 1)
+    if max_tries is None:
         rounds = max(1, math.ceil(
             math.log(2e-3) / (Pp * math.log(1.0 - floor))))
         max_tries = int(min(rounds * Pp, 64))
