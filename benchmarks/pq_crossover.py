@@ -89,7 +89,7 @@ def main():
             node2vec_walks_rejection, dg.row_ptr, dg.col_idx,
             dg.degree, at.accept, at.alias, starts, nbr=nm.nbr,
             uniform_rows=True,
-        )
+        )  # proposals/max_tries auto-sized from the acceptance floor
         edges = B * (args.length - 1)
         row = {
             "max_degree": d,

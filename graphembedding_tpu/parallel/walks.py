@@ -1147,7 +1147,7 @@ def distributed_node2vec_walks(
 
 def distributed_node2vec_rejection_walks(
     mesh, *, length, vp, n_walkers, p, q, max_degree, slack=4,
-    proposals=32,
+    proposals=32, envelope=False,
 ):
     """Dmax-safe distributed (p,q) walks: CSR-only rejection sampling.
 
@@ -1186,6 +1186,14 @@ def distributed_node2vec_rejection_walks(
     inv_p = jnp.float32(1.0 / p)
     inv_q = jnp.float32(1.0 / q)
     ub = float(max(1.0 / p, 1.0, 1.0 / q))
+    # prev-point envelope (round 5, mirrors ops.walk's single-chip
+    # form): acceptance floor min(q, 1/q, 1) instead of min/max over
+    # all three classes — at the canonical strong bias the overflow-
+    # accept bias at T=32 upfront proposals drops (15/16)^32 ~ 13% ->
+    # (3/4)^32 ~ 1e-4. UNWEIGHTED graphs only (the engine has no edge
+    # weights; the mixture mass needs them) — the caller gates.
+    beta = float(max(1.0, 1.0 / q))
+    a_coef = float(max(1.0 / p - beta, 0.0))
 
     def body(row_ptr, col_idx, degree, acc_t, ali_t, starts, key):
         row_ptr = row_ptr[0]
@@ -1215,7 +1223,7 @@ def distributed_node2vec_rejection_walks(
             deg = jnp.where(alive, degree[lv], 0)
 
             # T weighted proposals per walker from the LOCAL alias row
-            k1, k2, k3 = jax.random.split(kk, 3)
+            k1, k2, k3, km = jax.random.split(kk, 4)
             u1 = jax.random.uniform(k1, (cap, T))
             u2 = jax.random.uniform(k2, (cap, T))
             offs = jnp.broadcast_to(row_ptr[lv][:, None], (cap, T))
@@ -1227,6 +1235,21 @@ def distributed_node2vec_rejection_walks(
                 u1.reshape(-1), u2.reshape(-1),
             )
             cand = col_idx[offs.reshape(-1) + slot].reshape(cap, T)
+
+            if envelope:
+                # prev-point mixture: w_prev = [prev in N(cur)] (cur is
+                # LOCAL, so one local membership test), wsum = deg
+                pfound = csr_contains(
+                    row_ptr, col_idx, degree, lv,
+                    jnp.maximum(prev, 0), max_degree=max_degree,
+                ) & (prev >= 0) & alive
+                a_mass = a_coef * pfound.astype(jnp.float32)
+                p_point = a_mass / jnp.maximum(
+                    a_mass + beta * deg.astype(jnp.float32), 1e-30)
+                take_point = (jax.random.uniform(km, (cap, T))
+                              < p_point[:, None])
+                cand = jnp.where(
+                    take_point, jnp.maximum(prev, 0)[:, None], cand)
 
             # ONE membership exchange for all T proposals:
             # queries (prev, cand) answered by prev's owner
@@ -1253,9 +1276,13 @@ def distributed_node2vec_rejection_walks(
             factor = jnp.where(
                 is_prev, inv_p, jnp.where(ans > 0, 1.0, inv_q)
             )
+            if envelope:
+                env = beta + jnp.where(is_prev, a_coef, 0.0)
+            else:
+                env = ub
             # first hop (t == 1): unbiased weighted draw — accept #0
             acc_u = jax.random.uniform(k3, (cap, T))
-            accepted = acc_u < factor / ub
+            accepted = acc_u < factor / env
             accepted = accepted | (t == 1)
             # first accepted proposal; last proposal on full rejection
             first = jnp.argmax(accepted, axis=1)
@@ -1792,6 +1819,10 @@ class DistributedWalker:
                 mesh, length=walk_length, vp=vp, n_walkers=n_walkers,
                 p=p, q=q, slack=slack, proposals=proposals,
                 max_degree=int(graph.degree.max()),
+                # envelope needs edge weights for the mixture mass;
+                # enable on unweighted graphs (w identically 1)
+                envelope=bool(
+                    np.all(graph.edge_weight[:graph.num_edges] == 1.0)),
             )
             self._args = (
                 jnp.asarray(parts["row_ptr"]),
