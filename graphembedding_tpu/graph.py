@@ -319,6 +319,30 @@ class Graph:
             )
         return self._nbr_matrix
 
+    @property
+    def neighbor_ids(self):
+        """Padded neighbor IDS only (i32 [V, Dpad], pad -1) — device.
+
+        The dense-membership rejection kernel needs only the ids; the
+        full `neighbor_matrix` ALSO materializes the f32 weight plane,
+        doubling HBM to the exact kernel's footprint and defeating the
+        V*Dpad*4 gate (`select_pq_kernel`). Reuses `neighbor_matrix`'s
+        arrays when they already exist; otherwise builds ids alone.
+        """
+        if self._nbr_matrix is not None:
+            return self._nbr_matrix.nbr
+        import jax.numpy as jnp
+
+        dmax = max(self.max_degree, 1)
+        dpad = ((dmax + _LANE - 1) // _LANE) * _LANE
+        nbr = np.full((self.num_nodes, dpad), -1, dtype=np.int32)
+        deg = np.diff(self.row_ptr)
+        rows = np.repeat(np.arange(self.num_nodes, dtype=np.int64), deg)
+        cols = (np.arange(self.num_edges, dtype=np.int64)
+                - np.repeat(self.row_ptr[:-1].astype(np.int64), deg))
+        nbr[rows, cols] = self.col_idx
+        return jnp.asarray(nbr)
+
     def host_alias(self):
         """(accept f32[E], alias i32[E]) per-node alias tables, host numpy."""
         if self._host_alias is None:

@@ -22,10 +22,13 @@ _LIB_PATH = os.path.join(os.path.dirname(__file__), "libgraphnative.so")
 def _load():
     global _LIB
     if _LIB is None:
-        if not os.path.exists(_LIB_PATH):
-            from graphembedding_tpu.native.build import build
+        # always run build(): it no-ops when the .so is newer than the
+        # source, and REBUILDS a stale library (a pre-existing .so from
+        # an older source would otherwise load fine and then fail on a
+        # newly added symbol, silently disabling every native path)
+        from graphembedding_tpu.native.build import build
 
-            build()
+        build()
         _LIB = ctypes.CDLL(_LIB_PATH)
         _LIB.build_row_alias.restype = None
         _LIB.build_row_alias.argtypes = [

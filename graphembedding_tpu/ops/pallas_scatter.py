@@ -265,11 +265,11 @@ def _gather_mm_kernel(ids_ref, tbl_ref, out_ref, *, v_tiles, split):
     for vt in range(v_tiles):
         onehot = (ids - vt * _VT == cols).astype(jnp.bfloat16)
         tile = tbl_ref[pl.ds(vt * _VT, _VT), :]
-        for pln in range(split):
-            plane = (tile if split == 1
-                     else _split_bf16(tile.astype(jnp.float32), 2)[pln])
+        planes = ((tile.astype(jnp.bfloat16),) if split == 1
+                  else _split_bf16(tile.astype(jnp.float32), 2))
+        for plane in planes:
             acc = acc + jax.lax.dot_general(
-                onehot, plane.astype(jnp.bfloat16),
+                onehot, plane,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
     out_ref[:] = acc

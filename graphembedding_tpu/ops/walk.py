@@ -259,10 +259,10 @@ def node2vec_walks_rejection(
     length,
     max_degree,
     max_tries=None,
-    proposals=8,
+    proposals=None,
     edge_weight=None,
     wsum=None,
-    envelope=True,
+    envelope=None,
     nbr=None,
     uniform_rows=False,
 ):
@@ -315,6 +315,15 @@ def node2vec_walks_rejection(
     Dpad=512 — and a wash under strong bias (p=.25, q=4: mean ~16
     proposals needed, so the work is proposal-bound either way).
     """
+    # envelope auto rule: the mixture mass needs the cur->prev edge
+    # weight, so it is only unbiased when the caller wires
+    # edge_weight/wsum (simulate_walks always does) OR the graph is
+    # unweighted. Default None enables it exactly when wsum is wired;
+    # a bare round-4-style call on a weighted graph therefore keeps
+    # the (weight-agnostic, unbiased) ub form instead of silently
+    # mis-weighting the mixture. Explicit True/False always wins.
+    if envelope is None:
+        envelope = wsum is not None
     # auto-size the proposal batch and retry budget from the active
     # form's ANALYTIC per-proposal acceptance floor, targeting overflow
     # <= ~2e-3 per hop. Preference order: ONE round wide enough to
@@ -326,11 +335,20 @@ def node2vec_walks_rejection(
     import math
 
     fp, fq = float(p), float(q)
+    inv_p_f, inv_q_f = 1.0 / fp, 1.0 / fq
     if envelope:
-        floor = min(fq, 1.0 / fq, 1.0)
+        beta_f = max(1.0, inv_q_f)
+        # per-class acceptance: prev inv_p/max(inv_p, beta), shared
+        # 1/beta, other inv_q/beta. The prev term matters when
+        # inv_p < beta (p > max(1, q)): the envelope cannot exceed
+        # the proposal's own mass there, so prev proposals accept at
+        # inv_p/beta < 1 and the budget must cover it (ADVICE-class
+        # review finding: the earlier min(q, 1/q, 1) floor omitted it)
+        floor = min(inv_p_f / max(inv_p_f, beta_f),
+                    1.0 / beta_f, inv_q_f / beta_f)
     else:
-        u = max(1.0 / fp, 1.0, 1.0 / fq)
-        floor = min(1.0 / fp, 1.0, 1.0 / fq) / u
+        u = max(inv_p_f, 1.0, inv_q_f)
+        floor = min(inv_p_f, 1.0, inv_q_f) / u
     floor = min(max(floor, 1e-6), 1.0 - 1e-9)
     need = max(1, math.ceil(math.log(2e-3) / math.log(1.0 - floor)))
     if proposals is None:
@@ -609,7 +627,10 @@ def simulate_walks(
             choice = "exact"
         else:
             # explicit rejection (reference flag): still pick the
-            # membership mode by the same memory budget auto uses
+            # membership mode by the same memory budget auto uses.
+            # (Single-chip budget: mesh-sharded walks route through
+            # parallel.walks' engines, not this kernel, so no n_parts
+            # scaling applies here.)
             choice = ("rejection_dense"
                       if dg.num_nodes * dpad * 4 <= (4 << 30)
                       else "rejection")
@@ -621,7 +642,11 @@ def simulate_walks(
                 jnp.zeros((1,), jnp.float32),
                 jnp.cumsum(dg.edge_weight)])
             wsum = (csum[dg.row_ptr[1:]] - csum[dg.row_ptr[:-1]])
-            nbr = (graph.neighbor_matrix.nbr
+            # ids-only view: materializing the full neighbor_matrix
+            # would ALSO put the f32 weight plane in HBM, doubling to
+            # the exact kernel's footprint and defeating the V*Dpad*4
+            # budget gate
+            nbr = (graph.neighbor_ids
                    if choice == "rejection_dense" else None)
             # unweighted graph + resident nbr rows: slot-draw proposals
             # (1 element access) replace the alias path (3) — host-side
