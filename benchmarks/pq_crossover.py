@@ -78,9 +78,12 @@ def main():
             nm.nbr, nm.nbr_w, starts,
         )
         at = g.alias
+        # wire wsum as production simulate_walks does (envelope auto
+        # rule keys on it; bench graphs are unweighted so wsum = deg)
+        wsum = dg.degree.astype(jnp.float32)
         t_rej = time_kernel(
             node2vec_walks_rejection, dg.row_ptr, dg.col_idx,
-            dg.degree, at.accept, at.alias, starts,
+            dg.degree, at.accept, at.alias, starts, wsum=wsum,
         )
         # round 5: dense-membership rejection (nbr-id matrix resident;
         # the bench graphs are unweighted, so the slot-draw proposal
@@ -88,7 +91,7 @@ def main():
         t_rej_dense = time_kernel(
             node2vec_walks_rejection, dg.row_ptr, dg.col_idx,
             dg.degree, at.accept, at.alias, starts, nbr=nm.nbr,
-            uniform_rows=True,
+            uniform_rows=True, wsum=wsum,
         )  # proposals/max_tries auto-sized from the acceptance floor
         edges = B * (args.length - 1)
         row = {
